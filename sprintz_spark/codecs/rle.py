@@ -1,0 +1,91 @@
+"""Run-length coding of the per-block bitwidth (header) stream + varints.
+
+The reference RLE-codes runs of all-zero blocks with a 7-bit-continuation
+varint run counter capped at 0x7fff blocks (reference:
+cpp/Compress/sprintz_delta_rle.cpp:214-276, run cap at :68). We generalize:
+the whole header stream is (value, run-length) coded — a run of zero-width
+blocks (constant signal under delta) costs ~3 bytes total regardless of
+length, and so does any other constant-width stretch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+RUN_CAP = 0x7FFF  # max blocks per run (reference: sprintz_delta_rle.cpp:68)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-style 7-bit-continuation varint, vectorized for values < 2^15
+    (the RUN_CAP guarantees this for run lengths)."""
+    values = np.asarray(values, dtype=np.int64)
+    assert (values >= 0).all() and (values <= RUN_CAP).all()
+    small = values < 128
+    out = np.empty(int(len(values) + (~small).sum()), dtype=np.uint8)
+    # positions: each value takes 1 or 2 bytes
+    sizes = np.where(small, 1, 2)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    out[starts[small]] = values[small]
+    big = ~small
+    out[starts[big]] = (values[big] & 0x7F) | 0x80
+    out[starts[big] + 1] = values[big] >> 7
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int) -> tuple[np.ndarray, int]:
+    """Decode ``count`` varints; returns (values, bytes_consumed)."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    values = np.empty(count, dtype=np.int64)
+    pos = 0
+    for i in range(count):
+        b0 = int(arr[pos])
+        if b0 & 0x80:
+            values[i] = (b0 & 0x7F) | (int(arr[pos + 1]) << 7)
+            pos += 2
+        else:
+            values[i] = b0
+            pos += 1
+    return values, pos
+
+
+def rle_encode(seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(values, run_lengths) for a 1-D array, runs capped at RUN_CAP."""
+    seq = np.asarray(seq)
+    if len(seq) == 0:
+        return np.empty(0, seq.dtype), np.empty(0, np.int64)
+    change = np.flatnonzero(np.diff(seq) != 0)
+    starts = np.concatenate([[0], change + 1])
+    lengths = np.diff(np.concatenate([starts, [len(seq)]]))
+    values = seq[starts]
+    if lengths.max() > RUN_CAP:
+        # split over-cap runs (vectorized expansion)
+        reps = (lengths + RUN_CAP - 1) // RUN_CAP
+        values = np.repeat(values, reps)
+        split = []
+        for length, r in zip(lengths, reps):
+            if r == 1:
+                split.append(length)
+            else:
+                split.extend([RUN_CAP] * (r - 1) + [length - RUN_CAP * (r - 1)])
+        lengths = np.asarray(split, dtype=np.int64)
+    return values, lengths.astype(np.int64)
+
+
+def rle_decode(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    return np.repeat(values, lengths)
+
+
+def encode_headers(nbits: np.ndarray) -> bytes:
+    """Serialize the per-block bitwidth stream: u32 #runs, then run values
+    (u8 each), then run lengths (varint each)."""
+    values, lengths = rle_encode(nbits.astype(np.uint8))
+    nruns = np.uint32(len(values)).tobytes()
+    return nruns + values.astype(np.uint8).tobytes() + varint_encode(lengths)
+
+
+def decode_headers(buf: bytes) -> tuple[np.ndarray, int]:
+    """Returns (nbits array, bytes consumed)."""
+    nruns = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    values = np.frombuffer(buf[4 : 4 + nruns], dtype=np.uint8)
+    lengths, used = varint_decode(buf[4 + nruns :], nruns)
+    return rle_decode(values, lengths), 4 + nruns + used
