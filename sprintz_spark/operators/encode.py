@@ -1,0 +1,234 @@
+"""Sprintz encode/decode of bucketed series as Arrow-batched Spark UDFs.
+
+Maps the reference's dataframe-compression pipeline (reference:
+python/dfsqueeze.py:15-231 encode→measure→decode→verify; codec selection
+python/codec.py:439-535) onto Spark:
+
+  * ``encode_series``: groupBy(key) → applyInPandas; inside each group the
+    series is sorted by bucket, split into bounded chunks, and every value
+    column goes through quantize → per-column cost-based mode selection
+    (delta / doubledelta / fire / raw; fire only for u8/u16, like the
+    reference's C core) → SZ1 block format. Timestamps get delta-of-delta.
+    Float columns that defeat the decimal quantizer fall back to Gorilla
+    XOR. Output: ONE ROW PER (key, chunk) with binary blobs + metrics.
+  * ``decode_series``: mapInPandas — decoding needs no shuffle at all;
+    each encoded row explodes back to its original rows, exactly.
+  * ``query_encoded``: fused decode+aggregate (reference query-on-
+    compressed, cpp/Compress/query.hpp) — mapInPandas emits per-chunk
+    partials straight from the blobs, Catalyst's partial+final aggregate
+    combines. Never materializes the decoded table.
+
+Scale notes: group state is O(chunk) not O(series); chunk_rows bounds
+executor memory; a year of 1-minute buckets per url is ~525k rows → a few
+chunks. Hot urls are bounded by the time axis, not crawl count, because
+encoding happens AFTER rollup.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from sprintz_spark.codecs import gorilla
+from sprintz_spark.codecs import quantize as Q
+from sprintz_spark.codecs import sprintz as sz
+
+DEFAULT_CHUNK = 1 << 16
+
+
+def _encode_value_column(s: pd.Series) -> tuple[bytes, dict]:
+    """quantize → mode search → SZ1; fallback to gorilla for floats."""
+    kind = s.dtype.kind
+    if kind in "iu" and not s.isna().any():
+        vals = s.to_numpy()
+        width = vals.dtype.itemsize * 8
+        u, qp = None, None
+        if width == 64:
+            arr = vals.astype(np.int64)
+        else:
+            arr = vals
+    else:
+        try:
+            u, qp = Q.quantize(s)
+            arr = u
+        except (ValueError, TypeError):
+            buf = gorilla.encode(s.to_numpy(np.float64))
+            return buf, {"codec": "gorilla"}
+    candidates = ("delta", "doubledelta", "fire", "raw") if arr.dtype.itemsize <= 2 else (
+        "delta", "doubledelta", "raw")
+    mode = sz.choose_mode(arr, candidates)
+    meta = {"codec": "sprintz", "mode": mode, "np_dtype": str(arr.dtype)}
+    if qp is not None:
+        meta["qparams"] = qp.to_dict()
+    return sz.encode_column(arr, mode), meta
+
+
+def _decode_value_column(buf: bytes, meta: dict) -> pd.Series:
+    if meta["codec"] == "gorilla":
+        return pd.Series(gorilla.decode(buf))
+    u = sz.decode_column(buf)
+    arr = u.view(np.dtype(meta["np_dtype"]))
+    if "qparams" in meta:
+        return Q.unquantize(arr.view(np.dtype(meta["qparams"]["dtype"])),
+                            Q.QuantizeParams.from_dict(meta["qparams"]))
+    return pd.Series(arr)
+
+
+def _enc_schema(key_cols: list[str], value_cols: list[str], key_types) -> StructType:
+    fields = [StructField(k, t) for k, t in zip(key_cols, key_types)]
+    fields += [
+        StructField("chunk", LongType()),
+        StructField("start_bucket", TimestampType()),
+        StructField("n", LongType()),
+        StructField("ts_blob", BinaryType()),
+        StructField("meta", StringType()),
+        StructField("raw_bytes", LongType()),
+        StructField("comp_bytes", LongType()),
+        StructField("encode_secs", DoubleType()),
+    ]
+    fields += [StructField(f"blob_{c}", BinaryType()) for c in value_cols]
+    return StructType(fields)
+
+
+def encode_series(
+    df: DataFrame,
+    key_cols: list[str] = ("url",),
+    ts_col: str = "bucket",
+    value_cols: list[str] = ("crawl_count", "byte_size_sum", "byte_size_max"),
+    chunk_rows: int = DEFAULT_CHUNK,
+) -> DataFrame:
+    key_cols = list(key_cols)
+    value_cols = list(value_cols)
+    key_types = [df.schema[k].dataType for k in key_cols]
+    schema = _enc_schema(key_cols, value_cols, key_types)
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        rows = []
+        for c0 in range(0, len(pdf), chunk_rows):
+            chunk = pdf.iloc[c0 : c0 + chunk_rows]
+            ts = chunk[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
+            ts_blob = sz.encode_column(ts, "doubledelta")
+            raw = len(ts) * 8
+            comp = len(ts_blob)
+            meta: dict = {"ts": {"codec": "sprintz", "mode": "doubledelta"}}
+            row = {k: chunk[k].iloc[0] for k in key_cols}
+            row.update(
+                chunk=c0 // chunk_rows,
+                start_bucket=chunk[ts_col].iloc[0],
+                n=len(chunk),
+                ts_blob=ts_blob,
+            )
+            for c in value_cols:
+                blob, m = _encode_value_column(chunk[c])
+                meta[c] = m
+                row[f"blob_{c}"] = blob
+                raw += chunk[c].to_numpy().dtype.itemsize * len(chunk)
+                comp += len(blob)
+            row.update(
+                meta=json.dumps(meta),
+                raw_bytes=raw,
+                comp_bytes=comp,
+                encode_secs=time.perf_counter() - t0,
+            )
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.groupBy(*key_cols).applyInPandas(enc, schema)
+
+
+def decode_series(
+    enc: DataFrame,
+    key_cols: list[str] = ("url",),
+    ts_col: str = "bucket",
+    value_cols: list[str] = ("crawl_count", "byte_size_sum", "byte_size_max"),
+    value_types: dict | None = None,
+) -> DataFrame:
+    """Explode encoded chunks back to rows — narrow (no shuffle)."""
+    key_cols = list(key_cols)
+    value_cols = list(value_cols)
+    key_fields = [enc.schema[k] for k in key_cols]
+    _named = {"long": LongType(), "double": DoubleType()}
+    vt = {
+        c: (_named[t] if isinstance(t, str) else t)
+        for c, t in (value_types or {}).items()
+    }
+    fields = key_fields + [StructField(ts_col, TimestampType())]
+    fields += [StructField(c, vt.get(c, LongType())) for c in value_cols]
+    schema = StructType(fields)
+
+    def dec(it):
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                meta = json.loads(row["meta"])
+                ts = sz.decode_column(row["ts_blob"]).view(np.int64)
+                n = int(row["n"])
+                base = pd.DataFrame(
+                    {**{k: [row[k]] * n for k in key_cols}, ts_col: ts.astype("datetime64[us]")}
+                )
+                for c in value_cols:
+                    base[c] = _decode_value_column(row[f"blob_{c}"], meta[c])
+                yield base
+
+    return enc.mapInPandas(dec, schema)
+
+
+def query_encoded(
+    enc: DataFrame,
+    value_col: str,
+    key_cols: list[str] = ("url",),
+) -> DataFrame:
+    """Per-key sum/max/min/count of a value column computed from blobs —
+    the reference's REDUCE_SUM/REDUCE_MAX without materialization."""
+    key_cols = list(key_cols)
+    key_fields = [enc.schema[k] for k in key_cols]
+    schema = StructType(
+        key_fields
+        + [
+            StructField("p_sum", LongType()),
+            StructField("p_max", LongType()),
+            StructField("p_min", LongType()),
+            StructField("p_cnt", LongType()),
+        ]
+    )
+    blob_col = f"blob_{value_col}"
+
+    def partials(it):
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                meta = json.loads(row["meta"])[value_col]
+                s = _decode_value_column(row[blob_col], meta)
+                arr = s.to_numpy()
+                rec = {k: row[k] for k in key_cols}
+                rec.update(
+                    p_sum=int(arr.sum()),
+                    p_max=int(arr.max()),
+                    p_min=int(arr.min()),
+                    p_cnt=len(arr),
+                )
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    part = enc.mapInPandas(partials, schema)
+    return part.groupBy(*key_cols).agg(
+        F.sum("p_sum").alias(f"{value_col}_sum"),
+        F.max("p_max").alias(f"{value_col}_max"),
+        F.min("p_min").alias(f"{value_col}_min"),
+        F.sum("p_cnt").alias("n_points"),
+    )

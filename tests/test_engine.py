@@ -1,0 +1,131 @@
+"""End-to-end engine tests: pages generation, series derivation, tier
+cascade bit-exactness, salting equivalence, gap-fill semantics, and the
+encode→decode→verify loop through Spark (the reference's
+encode_measure_decode harness shape, python/dfsqueeze.py:133-231)."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sprintz_spark.functions.text import extract_text
+from sprintz_spark.operators import gapfill as GF
+from sprintz_spark.operators import rollup as R
+from sprintz_spark.operators.encode import decode_series, encode_series, query_encoded
+
+
+def test_pages_deterministic_and_extractable(pages_small):
+    pdf = pages_small.toPandas()
+    assert len(pdf) > 2000
+    assert set(pdf.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    # byte-identical extraction invariant (BASELINE.json input_hint)
+    assert all(extract_text(h) == t for h, t in zip(pdf.html, pdf.text))
+    # zipf skew: hottest url crawled much more than median
+    vc = pdf.url.value_counts()
+    assert vc.iloc[0] > 5 * vc.median()
+
+
+def test_rollup_cascade_bit_exact(spark, pages_small):
+    tiers = R.rollup_tiers(pages_small)
+    t1h_direct = R.derive_series(pages_small, "1h").toPandas()
+    t1h_cascade = tiers["1h"].toPandas()
+    key = ["url", "bucket"]
+    a = t1h_direct.sort_values(key).reset_index(drop=True)
+    b = t1h_cascade.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])  # cascade == direct, exact
+    t1d_direct = R.derive_series(pages_small, "1d").toPandas()
+    c = tiers["1d"].toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        t1d_direct.sort_values(key).reset_index(drop=True), c[t1d_direct.columns]
+    )
+
+
+def test_salted_rollup_equivalence(spark, pages_small):
+    plain = R.derive_series(pages_small, "1h").toPandas()
+    salted = R.derive_series_salted(pages_small, "1h", n_salts=8).toPandas()
+    key = ["url", "bucket"]
+    pd.testing.assert_frame_equal(
+        plain.sort_values(key).reset_index(drop=True),
+        salted.sort_values(key).reset_index(drop=True)[plain.columns],
+    )
+
+
+def _mk_series(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "bucket", "v"])
+    )
+
+
+def test_gapfill_locf_and_linear(spark):
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    # interior multi-gap + leading/trailing handled (FIXTURES.md F6)
+    obs = _mk_series(
+        spark,
+        [("u", t(1), 10), ("u", t(4), 40), ("u", t(5), 50), ("u", t(8), 20)],
+    )
+    locf = (
+        GF.gapfill(obs, "1h", ["v"], method="locf")
+        .orderBy("bucket")
+        .toPandas()
+    )
+    assert locf.v.tolist() == [10, 10, 10, 40, 50, 50, 50, 20]
+    lin = (
+        GF.gapfill(obs, "1h", ["v"], method="linear").orderBy("bucket").toPandas()
+    )
+    assert lin.v.tolist() == [10.0, 20.0, 30.0, 40.0, 50.0, 40.0, 30.0, 20.0]
+
+
+def test_gapfill_leading_gap_stays_null(spark):
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    obs = _mk_series(spark, [("u", t(0), None), ("u", t(2), 7), ("u", t(3), 9)])
+    locf = GF.gapfill(obs, "1h", ["v"], method="locf").orderBy("bucket").toPandas()
+    assert pd.isna(locf.v.iloc[0]) and pd.isna(locf.v.iloc[1]) and locf.v.iloc[2] == 7
+
+
+def test_encode_decode_roundtrip_spark(spark, pages_small):
+    series = R.derive_series(pages_small, "1h")
+    enc = encode_series(series, chunk_rows=64).cache()  # force multi-chunk
+    dec = decode_series(enc)
+    orig = series.toPandas().sort_values(["url", "bucket"]).reset_index(drop=True)
+    back = dec.toPandas().sort_values(["url", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(orig[back.columns], back)
+    # compression actually happens on the smooth byte-size series
+    m = enc.agg(F.sum("raw_bytes").alias("r"), F.sum("comp_bytes").alias("c")).first()
+    assert m["c"] < m["r"]
+
+
+def test_query_encoded_matches_plain_agg(spark, pages_small):
+    series = R.derive_series(pages_small, "1h")
+    enc = encode_series(series)
+    q = query_encoded(enc, "byte_size_sum").toPandas().set_index("url")
+    plain = (
+        series.groupBy("url")
+        .agg(
+            F.sum("byte_size_sum").alias("s"),
+            F.max("byte_size_sum").alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .toPandas()
+        .set_index("url")
+    )
+    for url, row in plain.iterrows():
+        assert q.loc[url, "byte_size_sum_sum"] == row["s"]
+        assert q.loc[url, "byte_size_sum_max"] == row["m"]
+        assert q.loc[url, "n_points"] == row["n"]
+
+
+def test_encode_float_gapfilled_series(spark):
+    # linear-filled series are float64 → quantize-or-gorilla path
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("u", t0 + dt.timedelta(hours=i), float(np.sin(i / 5) * 100))
+            for i in range(200)]
+    df = _mk_series(spark, rows)
+    enc = encode_series(df, value_cols=["v"])
+    back = (
+        decode_series(enc, value_cols=["v"], value_types={"v": "double"})
+        .toPandas().sort_values("bucket").reset_index(drop=True)
+    )
+    orig = df.toPandas().sort_values("bucket").reset_index(drop=True)
+    assert (back.v.to_numpy().view(np.uint64) == orig.v.to_numpy().view(np.uint64)).all()

@@ -1,0 +1,69 @@
+"""Retention cascade + checkpoint/resume tests (FIXTURES.md F6 resume
+fixture: run, truncate manifest after partition k, re-run, assert
+byte-identical tier output and that completed partitions were skipped)."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sprintz_spark.operators.encode import decode_series
+from sprintz_spark.plans import retention as RT
+
+
+def _decode_tier(spark, out_dir, tier, snap="snapA"):
+    enc = spark.read.parquet(os.path.join(out_dir, f"snap={snap}", f"encoded_tier={tier}"))
+    df = decode_series(enc, key_cols=["part", "url"], value_cols=RT.MEASURES)
+    return (
+        df.toPandas()
+        .sort_values(["url", "bucket"])
+        .reset_index(drop=True)
+        .drop(columns=["part"])
+    )
+
+
+def test_retention_run_and_resume(spark, pages_small, tmp_path):
+    out1 = str(tmp_path / "ret1")
+    rep = RT.run_retention(pages_small, out1, snapshot_id="snapA", n_buckets=4)
+    assert all(r["parts_written"] == 4 for r in rep.values())
+
+    # tier outputs decode to exactly the plain rollup results
+    from sprintz_spark.operators import rollup as R
+
+    for tier in ("1m", "1h", "1d"):
+        expect = (
+            R.rollup_tiers(pages_small)[tier]
+            .toPandas()
+            .sort_values(["url", "bucket"])
+            .reset_index(drop=True)
+        )
+        got = _decode_tier(spark, out1, tier)
+        pd.testing.assert_frame_equal(expect[got.columns], got)
+
+    # re-run same snapshot: everything skipped
+    rep2 = RT.run_retention(pages_small, out1, snapshot_id="snapA", n_buckets=4)
+    assert all(r["parts_written"] == 0 for r in rep2.values())
+
+    # truncate manifest: drop rows for two 1h partitions -> only those rerun
+    man_path = os.path.join(out1, "manifest")
+    man = spark.read.parquet(man_path).toPandas()
+    keep = man[~((man.tier == "1h") & (man.part.isin([0, 1])))]
+    shutil.rmtree(man_path)
+    spark.createDataFrame(keep).write.parquet(man_path)
+    rep3 = RT.run_retention(pages_small, out1, snapshot_id="snapA", n_buckets=4)
+    assert rep3["1h"]["parts_written"] == 2
+    assert rep3["1m"]["parts_written"] == 0 and rep3["1d"]["parts_written"] == 0
+
+    # resumed output is byte-identical to a clean single run
+    out2 = str(tmp_path / "ret2")
+    RT.run_retention(pages_small, out2, snapshot_id="snapA", n_buckets=4)
+    for tier in ("1m", "1h", "1d"):
+        a = _decode_tier(spark, out1, tier)
+        b = _decode_tier(spark, out2, tier)
+        pd.testing.assert_frame_equal(a, b)
+
+    ratios = RT.tier_ratio_report(spark, out2, "snapA")
+    assert set(ratios) == {"1m", "1h", "1d"}
+    assert all(v["rows"] > 0 and v["ratio"] > 0 for v in ratios.values())
