@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship end-to-end pipeline on sf0.001: synthesize the
+                 Common-Crawl-style pages table, derive per-url series,
+                 sprintz-encode, decode, and return the verified 1h rollup.
+queries()      — operator inventory from SURVEY.md §2 + training-data ops,
+                 each (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL per query (omitted only for
+                 non-SQL-expressible ops: LSH banding, heuristic scoring).
 """
 
 from __future__ import annotations
@@ -15,24 +17,46 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages -> 1m series -> encode -> decode -> 1h cascade."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.sparkContext.addPyFile  # ship package for foreign drivers
+        from sprintz_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass
+    from sprintz_spark.operators import rollup as R
+    from sprintz_spark.operators.encode import decode_series, encode_series
+    from sprintz_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 3000)
+    t1m = R.derive_series_salted(pages, "1m")
+    enc = encode_series(
+        t1m, key_cols=["url"], value_cols=["crawl_count", "byte_size_sum", "byte_size_max", "byte_size_min"]
+    )
+    dec = decode_series(
+        enc, key_cols=["url"], value_cols=["crawl_count", "byte_size_sum", "byte_size_max", "byte_size_min"]
+    )
+    return R.cascade(dec, "1h")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    import sys, os
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sprintz_spark.queries import queries as q
+
+    return q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sprintz_spark.queries import oracles
+
+    return oracles()

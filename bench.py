@@ -1,0 +1,122 @@
+"""Benchmark harness: headline queries + the encode/rollup pipeline.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., plus extra diagnostics
+   (pipeline rows/sec, per-tier compression ratios)}.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_PAGES_ROWS (default 300000) for the pages pipeline section,
+     BENCH_SKIP_PIPELINE=1 to run only the table queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def time_query(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # force full execution without driver materialization cost
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+BENCH_QUERIES = [
+    "rollup_1m",
+    "rollup_1h_cascade",
+    "rollup_1d_salted",
+    "gapfill_locf_1h",
+    "gapfill_linear_1h",
+    "topk_heavy_users",
+    "sprintz_roundtrip",
+    "query_on_compressed",
+    "gorilla_roundtrip",
+    "pricing_summary",
+    "dedup_wordset",
+    "token_stats",
+    "exact_dup_docs",
+    "ann_topk",
+    "minhash_near_dup",
+    "simhash_buckets",
+    "lang_quality",
+]
+
+
+def run_pipeline(spark, n_rows: int) -> dict:
+    """The headline north-star metric: encode+rollup rows/sec + per-tier
+    compression ratio on the synthetic Common-Crawl-style pages table."""
+    from sprintz_spark.plans import retention as RT
+    from sprintz_spark.sources.pages import generate_pages
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pages = generate_pages(spark, n_rows)
+        pages_path = os.path.join(tmp, "pages")
+        pages.write.parquet(pages_path)  # materialize input outside the timer
+        pages = spark.read.parquet(pages_path)
+        n_input = pages.count()
+        t0 = time.perf_counter()
+        RT.run_retention(
+            pages, os.path.join(tmp, "ret"), snapshot_id="bench", n_buckets=32
+        )
+        wall = time.perf_counter() - t0
+        ratios = RT.tier_ratio_report(spark, os.path.join(tmp, "ret"), "bench")
+        return {
+            "pipeline_rows": n_input,
+            "pipeline_secs": round(wall, 3),
+            "pipeline_rows_per_sec": round(n_input / wall, 1),
+            "tier_ratios": {
+                t: round(v["ratio"], 3) for t, v in sorted(ratios.items())
+            },
+            "tier_encode_rows_per_sec": {
+                t: round(v["encode_rows_per_sec"], 1)
+                for t, v in sorted(ratios.items())
+            },
+        }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
+
+    from sprintz_spark.queries import queries as load_queries
+    from sprintz_spark.session import get_spark
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]")
+    qmap = load_queries()
+    # warm the JVM/Arrow path once so per-query numbers measure the
+    # queries, not session startup
+    qmap["topk_heavy_users"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        times[name] = round(time_query(qmap[name], spark, sf_dir), 3)
+
+    extra: dict = {}
+    if os.environ.get("BENCH_SKIP_PIPELINE") != "1":
+        extra = run_pipeline(spark, int(os.environ.get("BENCH_PAGES_ROWS", "300000")))
+
+    out = {
+        "metric": "engine_bench_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": int(cpus),
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,280 @@
+"""Deduplication operators over document tables (training-data pipeline).
+
+All are target additions (the reference has no text layer); implemented
+Spark-first:
+
+  * exact_dedup            — hash groupBy, keep min id (one shuffle)
+  * minhash_lsh_pairs      — word-shingle MinHash signatures (Arrow UDF,
+                             vectorized numpy) → banded LSH bucket join →
+                             candidate pairs with estimated Jaccard
+  * ngram_jaccard_verify   — exact n-gram Jaccard on candidate pairs only
+                             (never all-pairs; candidates bound the join)
+  * simhash_candidates     — 64-bit SimHash, 4x16-bit band bucketing,
+                             Hamming-verified pairs
+
+Scale: every operator is shuffle-bounded by (band, bucket) group sizes,
+not by n_docs^2; the verify joins are broadcast-friendly when the
+candidate set is small and AQE-skew-safe otherwise.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+from sprintz_spark.functions.text import simhash64
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One surviving row per distinct text (min id wins)."""
+    h = F.md5(F.col(text_col)).alias("_h")
+    return (
+        docs.select(F.col(id_col), h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def _minhash_params(n_hashes: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) — vectorized MinHash over word shingles."""
+    a, b = _minhash_params(n_hashes, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = (t or "").lower().split()
+            if len(words) < shingle:
+                grams = [" ".join(words)] if words else [""]
+            else:
+                grams = [
+                    " ".join(words[i : i + shingle])
+                    for i in range(len(words) - shingle + 1)
+                ]
+            hv = np.fromiter(
+                (zlib.crc32(g.encode()) for g in set(grams)),
+                dtype=np.uint64,
+                count=len(set(grams)),
+            )
+            # k x n permutation hashes, min over shingles (one numpy shot)
+            perm = (a[:, None] * hv[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            out.append(perm.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    min_est_jaccard: float = 0.4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b, est_jaccard) via banded LSH.
+
+    est_jaccard = fraction of matching minhash components — the unbiased
+    Jaccard estimator; pairs must collide in >=1 band AND pass the
+    estimate threshold.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle, seed).cache()
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(n_hashes))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .where(F.col("est_jaccard") >= min_est_jaccard)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+) -> DataFrame:
+    """Exact word-shingle Jaccard for candidate pairs only."""
+    texts = docs.select(F.col(id_col), F.col(text_col))
+    joined = (
+        pairs.join(texts.withColumnsRenamed({id_col: "doc_a", text_col: "text_a"}), "doc_a")
+        .join(texts.withColumnsRenamed({id_col: "doc_b", text_col: "text_b"}), "doc_b")
+    )
+
+    @F.pandas_udf("double")
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        def grams(t):
+            w = (t or "").lower().split()
+            if len(w) < shingle:
+                return {" ".join(w)} if w else set()
+            return {" ".join(w[i : i + shingle]) for i in range(len(w) - shingle + 1)}
+
+        out = []
+        for x, y in zip(ta, tb):
+            gx, gy = grams(x), grams(y)
+            u = len(gx | gy)
+            out.append(len(gx & gy) / u if u else 0.0)
+        return pd.Series(out)
+
+    return joined.select(
+        "doc_a", "doc_b", "est_jaccard", F.round(jac("text_a", "text_b"), 4).alias("jaccard")
+    )
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup candidates: 4x16-bit bands; pairs colliding in any
+    band are Hamming-verified. Returns (doc_a, doc_b, hamming)."""
+
+    @F.pandas_udf(LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [np.int64(np.uint64(simhash64(t or ""))) for t in texts], dtype="int64"
+        )
+
+    sigs = docs.select(F.col(id_col), sh(F.col(text_col)).alias("sh")).cache()
+    bands = sigs.select(
+        id_col,
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("sh", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Cosine near-dup pairs via signed-random-projection LSH buckets, then
+    exact cosine verification inside buckets."""
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+    @F.pandas_udf(IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ planes.T) > 0
+        return pd.Series(np.packbits(bits, axis=1, bitorder="little")[:, :2].view(np.uint16).astype(np.int32).ravel())
+
+    b = emb.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bkt"))
+    l, r = b.alias("l"), b.alias("r")
+    to_d = lambda side: F.transform(F.col(f"{side}.{vec_col}"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(to_d("l"), to_d("r"), lambda a, c: a * c), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda side: F.sqrt(
+        F.aggregate(F.transform(to_d(side), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    sim = dot / (nrm("l") * nrm("r"))
+    return (
+        l.join(
+            r,
+            (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(sim, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

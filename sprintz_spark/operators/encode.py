@@ -110,46 +110,70 @@ def encode_series(
     ts_col: str = "bucket",
     value_cols: list[str] = ("crawl_count", "byte_size_sum", "byte_size_max"),
     chunk_rows: int = DEFAULT_CHUNK,
+    part_col: str | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
+    """One output row per (series, chunk).
+
+    Physical grouping is by a hash partition (``part_col`` if given, else a
+    derived one), NOT per series: one Arrow batch carries many series and
+    the per-series loop happens pandas-side. This keeps applyInPandas
+    group count == shuffle partition count — per-group Arrow overhead is
+    amortized over thousands of series, which is also the correct shape at
+    100 TB (bounded group memory, no million-group scheduling)."""
     key_cols = list(key_cols)
     value_cols = list(value_cols)
+    spark = df.sparkSession
+    drop_part = part_col is None
+    if part_col is None:
+        part_col = "_enc_part"
+        n_parts = n_parts or spark.sparkContext.defaultParallelism * 2
+        df = df.withColumn(
+            part_col, F.pmod(F.xxhash64(*key_cols), F.lit(n_parts)).cast("int")
+        )
     key_types = [df.schema[k].dataType for k in key_cols]
-    schema = _enc_schema(key_cols, value_cols, key_types)
+    out_keys = ([] if drop_part else [part_col]) + key_cols
+    out_key_types = (
+        [] if drop_part else [df.schema[part_col].dataType]
+    ) + key_types
+    schema = _enc_schema(out_keys, value_cols, out_key_types)
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.perf_counter()
-        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
         rows = []
-        for c0 in range(0, len(pdf), chunk_rows):
-            chunk = pdf.iloc[c0 : c0 + chunk_rows]
-            ts = chunk[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
-            ts_blob = sz.encode_column(ts, "doubledelta")
-            raw = len(ts) * 8
-            comp = len(ts_blob)
-            meta: dict = {"ts": {"codec": "sprintz", "mode": "doubledelta"}}
-            row = {k: chunk[k].iloc[0] for k in key_cols}
-            row.update(
-                chunk=c0 // chunk_rows,
-                start_bucket=chunk[ts_col].iloc[0],
-                n=len(chunk),
-                ts_blob=ts_blob,
-            )
-            for c in value_cols:
-                blob, m = _encode_value_column(chunk[c])
-                meta[c] = m
-                row[f"blob_{c}"] = blob
-                raw += chunk[c].to_numpy().dtype.itemsize * len(chunk)
-                comp += len(blob)
-            row.update(
-                meta=json.dumps(meta),
-                raw_bytes=raw,
-                comp_bytes=comp,
-                encode_secs=time.perf_counter() - t0,
-            )
-            rows.append(row)
+        for _keys, g in pdf.groupby(key_cols, sort=False):
+            t0 = time.perf_counter()
+            g = g.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+            for c0 in range(0, len(g), chunk_rows):
+                chunk = g.iloc[c0 : c0 + chunk_rows]
+                ts = chunk[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
+                ts_blob = sz.encode_column(ts, "doubledelta")
+                raw = len(ts) * 8
+                comp = len(ts_blob)
+                meta: dict = {"ts": {"codec": "sprintz", "mode": "doubledelta"}}
+                row = {k: chunk[k].iloc[0] for k in out_keys}
+                row.update(
+                    chunk=c0 // chunk_rows,
+                    start_bucket=chunk[ts_col].iloc[0],
+                    n=len(chunk),
+                    ts_blob=ts_blob,
+                )
+                for c in value_cols:
+                    blob, m = _encode_value_column(chunk[c])
+                    meta[c] = m
+                    row[f"blob_{c}"] = blob
+                    raw += chunk[c].to_numpy().dtype.itemsize * len(chunk)
+                    comp += len(blob)
+                row.update(
+                    meta=json.dumps(meta),
+                    raw_bytes=raw,
+                    comp_bytes=comp,
+                    encode_secs=time.perf_counter() - t0,
+                )
+                rows.append(row)
+                t0 = time.perf_counter()
         return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return df.groupBy(*key_cols).applyInPandas(enc, schema)
+    return df.groupBy(part_col).applyInPandas(enc, schema)
 
 
 def decode_series(

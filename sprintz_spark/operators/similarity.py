@@ -1,0 +1,120 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k (broadcast query vectors, JVM-side
+higher-order array functions — no Python in the hot path). Scale path:
+IVF-style coarse quantization — k-means-free bucketing via signed random
+projections; probes only matching buckets, cutting the scan by
+~2^n_planes/probes at recall cost.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+
+def _cosine(vec_col, q_col):
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(to_d(vec_col), to_d(q_col), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(F.transform(to_d(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return dot / (nrm(vec_col) * nrm(q_col))
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k per query: broadcast(queries) x scan(emb), window top-k.
+
+    At 100 TB the scan side stays partition-parallel; only k rows per
+    (query, partition) survive the partial rank, so the final shuffle is
+    tiny."""
+    joined = emb.crossJoin(F.broadcast(queries))
+    sim = _cosine(F.col(vec_col), F.col(q_vec_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        joined.select(q_id_col, id_col, F.round(sim, 6).alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def ivf_index(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """Assign each vector to a signed-random-projection bucket (IVF cell)."""
+    dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    @F.pandas_udf(IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ planes.T) > 0
+        vals = np.zeros(len(m), dtype=np.int64)
+        for i in range(bits.shape[1]):
+            vals |= bits[:, i].astype(np.int64) << i
+        return pd.Series(vals.astype(np.int32))
+
+    return emb.withColumn("cell", cell(F.col(vec_col)))
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    n_planes: int = 8,
+    seed: int = 11,
+    hamming_probe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only cells within ``hamming_probe`` bit
+    flips of the query's cell (probes = sum_{i<=h} C(n_planes, i))."""
+    dim = len(queries.select(q_vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    def q_cells(vec) -> list[int]:
+        bits = (np.asarray(vec, dtype=np.float64) @ planes.T) > 0
+        base = 0
+        for i, b in enumerate(bits):
+            base |= int(b) << i
+        cells = [base]
+        if hamming_probe >= 1:
+            cells += [base ^ (1 << i) for i in range(n_planes)]
+        return cells
+
+    qrows = queries.collect()
+    probe = queries.sparkSession.createDataFrame(
+        [(r[q_id_col], r[q_vec_col], c) for r in qrows for c in q_cells(r[q_vec_col])],
+        schema=f"{q_id_col} long, {q_vec_col} array<float>, cell int",
+    )
+    joined = indexed.join(F.broadcast(probe), "cell")
+    sim = _cosine(F.col(vec_col), F.col(q_vec_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        joined.select(q_id_col, id_col, F.round(sim, 6).alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

@@ -1,0 +1,57 @@
+"""Text-analysis DataFrame operators (language id, quality, tokens,
+fingerprints) — Arrow-batched wrappers over functions.text."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+from sprintz_spark.functions import text as T
+
+
+@F.pandas_udf(StringType())
+def lang_id_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: T.lang_id(t or ""))
+
+
+@F.pandas_udf(DoubleType())
+def quality_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: T.quality_score(t or ""))
+
+
+@F.pandas_udf(LongType())
+def token_count_bpe_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: T.token_count_bpe(t or ""))
+
+
+@F.pandas_udf(LongType())
+def fingerprint_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: T.fingerprint(t or ""))
+
+
+def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add lang_pred, quality, token counts, fingerprint columns.
+
+    Whitespace token count stays JVM-side (built-in split/size); the
+    heuristic scores are Arrow UDFs.
+    """
+    c = F.col(text_col)
+    return (
+        docs.withColumn("lang_pred", lang_id_udf(c))
+        .withColumn("quality", quality_udf(c))
+        .withColumn("tokens_ws", F.size(F.split(F.trim(c), r"\s+")).cast("long"))
+        .withColumn("tokens_bpe", token_count_bpe_udf(c))
+        .withColumn("fingerprint", fingerprint_udf(c))
+    )
+
+
+def extract_text_df(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """html binary -> extracted text via the frozen extractor."""
+
+    @F.pandas_udf(StringType())
+    def ext(html: pd.Series) -> pd.Series:
+        return T.extract_text_series(html)
+
+    return pages.withColumn("extracted_text", ext(F.col(html_col)))

@@ -97,7 +97,8 @@ def run_retention(
         if pending:
             enc = encode_series(
                 series.where(F.col("part").isin(pending)),
-                key_cols=["part", "url"],
+                key_cols=["url"],
+                part_col="part",
                 value_cols=MEASURES,
                 chunk_rows=chunk_rows,
             )

@@ -1,0 +1,471 @@
+"""Oracle-checked query pack for the driver contract (__spark_entry__).
+
+Each ``q_*`` takes (spark, sf_dir) and returns a DataFrame whose column
+names/aliases exactly match the paired DuckDB SQL in ``ORACLES`` (the
+driver hash-compares values after sorting columns by name).
+
+Numeric-determinism rules used throughout:
+  * money-like doubles become integer cents (CAST(ROUND(v*100,0) AS BIGINT))
+    so sums are order-independent and bit-exact across engines;
+  * decimal sums for TPC-H-style aggregates;
+  * float outputs (linear interpolation, cosine) are either rounded with
+    the identical expression on both sides or reduced to id sets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sprintz_spark.operators import gapfill as GF
+from sprintz_spark.operators import rollup  # noqa: F401 (engine parity)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col: str = "value"):
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+_CENTS_SQL = "CAST(ROUND(value*100, 0) AS BIGINT)"
+
+
+# --- tiered rollups on events (engine operators, SQL oracles) -------------
+
+def _events_1m(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("minute", "ts").alias("bucket"), _cents().alias("cents"))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents_sum"),
+            F.max("cents").alias("cents_max"),
+            F.min("cents").alias("cents_min"),
+        )
+    )
+
+
+def q_rollup_1m(spark, sf_dir):
+    return _events_1m(spark, sf_dir)
+
+
+def q_rollup_1h_cascade(spark, sf_dir):
+    # cascade from the 1m tier (bit-exact algebraic re-aggregation); the
+    # oracle aggregates raw events directly — equality proves the cascade
+    return (
+        _events_1m(spark, sf_dir)
+        .groupBy("user_id", F.date_trunc("hour", "bucket").alias("bucket"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("cents_sum").alias("cents_sum"),
+            F.max("cents_max").alias("cents_max"),
+            F.min("cents_min").alias("cents_min"),
+        )
+    )
+
+
+def q_rollup_1d_salted(spark, sf_dir):
+    # explicit two-phase salted aggregation (hot-key safe), same result
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("bucket"),
+        _cents().alias("cents"),
+        F.pmod(F.xxhash64("ts", F.lit(7)), F.lit(8)).alias("salt"),
+    )
+    p1 = ev.groupBy("user_id", "bucket", "salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.max("cents").alias("mx"),
+        F.min("cents").alias("mn"),
+    )
+    return p1.groupBy("user_id", "bucket").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("s").alias("cents_sum"),
+        F.max("mx").alias("cents_max"),
+        F.min("mn").alias("cents_min"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT user_id, date_trunc('{unit}', ts) AS bucket,
+       count(*) AS n_events,
+       sum({cents}) AS cents_sum,
+       max({cents}) AS cents_max,
+       min({cents}) AS cents_min
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- gap-fill --------------------------------------------------------------
+
+def _events_1h_sum(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("hour", "ts").alias("bucket"), _cents().alias("cents"))
+        .groupBy("user_id", "bucket")
+        .agg(F.sum("cents").alias("v"))
+    )
+
+
+def q_gapfill_locf_1h(spark, sf_dir):
+    filled = GF.gapfill(
+        _events_1h_sum(spark, sf_dir), "1h", ["v"], key="user_id", method="locf"
+    )
+    return filled.select("user_id", "bucket", F.col("v").alias("v_locf"))
+
+
+def q_gapfill_linear_1h(spark, sf_dir):
+    filled = GF.gapfill(
+        _events_1h_sum(spark, sf_dir), "1h", ["v"], key="user_id", method="linear"
+    )
+    return filled.select("user_id", "bucket", F.round(F.col("v"), 6).alias("v_lin"))
+
+
+_GAPFILL_BASE_SQL = f"""
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, sum({_CENTS_SQL}) AS v
+  FROM events GROUP BY 1, 2
+), ext AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM ext
+), j AS (
+  SELECT s.user_id, s.bucket, b.v FROM spine s LEFT JOIN b USING (user_id, bucket)
+)
+"""
+
+_GAPFILL_LOCF_SQL = (
+    _GAPFILL_BASE_SQL
+    + """
+SELECT user_id, bucket,
+       last_value(v IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+FROM j
+"""
+)
+
+_GAPFILL_LINEAR_SQL = (
+    _GAPFILL_BASE_SQL
+    + """
+, w AS (
+  SELECT user_id, bucket, v,
+    CAST(epoch(bucket) AS DOUBLE) AS t,
+    last_value(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE) END IGNORE NULLS) OVER past AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN CAST(epoch(bucket) AS DOUBLE) END IGNORE NULLS) OVER past AS pt,
+    first_value(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE) END IGNORE NULLS) OVER fut AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch(bucket) AS DOUBLE) END IGNORE NULLS) OVER fut AS nt
+  FROM j
+  WINDOW past AS (PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fut AS (PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket,
+  ROUND(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+             WHEN pt IS NOT NULL AND nt IS NOT NULL
+             THEN pv + (nv - pv) * (t - pt) / (nt - pt) END, 6) AS v_lin
+FROM w
+"""
+)
+
+
+# --- ranking / top-k -------------------------------------------------------
+
+def q_topk_heavy_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("rnk", "user_id", "n_events")
+    )
+
+
+_TOPK_SQL = """
+SELECT rnk, user_id, n_events FROM (
+  SELECT user_id, count(*) AS n_events,
+         row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rnk
+  FROM events GROUP BY user_id
+) WHERE rnk <= 10
+"""
+
+
+# --- sprintz codec round-trip through Spark, verified against SQL ---------
+
+def q_sprintz_roundtrip(spark, sf_dir):
+    """Encode each user's (ts, cents) series with the sprintz pipeline,
+    decode, and aggregate the DECODED data — equality with the raw-SQL
+    oracle proves losslessness end-to-end through Spark."""
+    from sprintz_spark.operators.encode import decode_series, encode_series
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("bucket"), _cents().alias("cents")
+    )
+    enc = encode_series(ev, key_cols=["user_id"], value_cols=["cents"])
+    dec = decode_series(enc, key_cols=["user_id"], value_cols=["cents"])
+    return dec.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("cents").alias("cents_sum"),
+        F.min("bucket").alias("ts_min"),
+        F.max("bucket").alias("ts_max"),
+    )
+
+
+_ROUNDTRIP_SQL = f"""
+SELECT user_id, count(*) AS n_points, sum({_CENTS_SQL}) AS cents_sum,
+       min(ts) AS ts_min, max(ts) AS ts_max
+FROM events GROUP BY user_id
+"""
+
+
+def q_query_on_compressed(spark, sf_dir):
+    """Aggregates computed from compressed blobs (fused decode+aggregate,
+    no materialization) — the reference's REDUCE_SUM/REDUCE_MAX path."""
+    from sprintz_spark.operators.encode import encode_series, query_encoded
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("bucket"), _cents().alias("cents")
+    )
+    enc = encode_series(ev, key_cols=["user_id"], value_cols=["cents"])
+    return query_encoded(enc, "cents", key_cols=["user_id"])
+
+
+_QOC_SQL = f"""
+SELECT user_id, sum({_CENTS_SQL}) AS cents_sum, max({_CENTS_SQL}) AS cents_max,
+       min({_CENTS_SQL}) AS cents_min, count(*) AS n_points
+FROM events GROUP BY user_id
+"""
+
+
+def q_gorilla_roundtrip(spark, sf_dir):
+    """Gorilla-XOR the raw double series per user, decode, aggregate —
+    bit-exact round trip makes the cents sums match raw SQL."""
+    from sprintz_spark.operators.encode import decode_series, encode_series
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("bucket"), F.col("value")
+    )
+    enc = encode_series(ev, key_cols=["user_id"], value_cols=["value"])
+    dec = decode_series(
+        enc, key_cols=["user_id"], value_cols=["value"], value_types={"value": "double"}
+    )
+    return dec.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents_sum"),
+    )
+
+
+_GORILLA_SQL = f"""
+SELECT user_id, count(*) AS n_points, sum({_CENTS_SQL}) AS cents_sum
+FROM events GROUP BY user_id
+"""
+
+
+# --- TPC-H-style relational aggregate (decimal-exact) ---------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).alias("sum_qty"),
+            F.sum(d("l_extendedprice")).alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- dedup / text analysis over documents ---------------------------------
+
+def q_dedup_wordset(spark, sf_dir):
+    """Bag-of-words dedup: docs collapsed by their sorted distinct word
+    set; per lang report doc count vs distinct signatures."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))))
+    )
+    return (
+        docs.select("lang", sig.alias("sig"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("sig").alias("n_distinct_wordsets"),
+        )
+    )
+
+
+_DEDUP_WORDSET_SQL = """
+SELECT lang, count(*) AS n_docs,
+       count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')))
+         AS n_distinct_wordsets
+FROM documents GROUP BY lang
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), " "))
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("tokens_ws"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
+_TOKEN_STATS_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       sum(len(string_split(trim(text), ' '))) AS tokens_ws,
+       sum(n_chars) AS chars_sum
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_exact_dup_docs(spark, sf_dir):
+    """Classic exact dedup by full-text hash; counts surviving docs."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .groupBy("n_copies")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+_EXACT_DUP_SQL = """
+SELECT n_copies, count(*) AS n_groups FROM (
+  SELECT md5(text) AS h, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+  FROM documents GROUP BY md5(text)
+) GROUP BY n_copies
+"""
+
+
+# --- similarity search over embeddings ------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id=0 (id set only, so
+    cross-engine float summation order can't flip the hash)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    to_d = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(to_d("embedding"), to_d("q"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(to_d(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    sim = dot / (norm("embedding") * norm("q"))
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        joined.select("vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("vec_id")
+    )
+
+
+_ANN_SQL = """
+SELECT vec_id FROM (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding, q.embedding) AS sim
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+  ORDER BY sim DESC, e.vec_id ASC LIMIT 10
+)
+"""
+
+
+# --- rows-only (non-SQL-expressible) engine ops ---------------------------
+
+def q_minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH candidate near-dup pairs over documents (rows-only:
+    banding/bucketing is not reasonably SQL-expressible)."""
+    from sprintz_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_buckets(spark, sf_dir):
+    from sprintz_spark.operators.dedup import simhash_candidates
+
+    return simhash_candidates(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_quality(spark, sf_dir):
+    from sprintz_spark.operators.text_ops import with_text_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_text_features(docs)
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
+def queries() -> dict:
+    return {
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h_cascade": q_rollup_1h_cascade,
+        "rollup_1d_salted": q_rollup_1d_salted,
+        "gapfill_locf_1h": q_gapfill_locf_1h,
+        "gapfill_linear_1h": q_gapfill_linear_1h,
+        "topk_heavy_users": q_topk_heavy_users,
+        "sprintz_roundtrip": q_sprintz_roundtrip,
+        "query_on_compressed": q_query_on_compressed,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "pricing_summary": q_pricing_summary,
+        "dedup_wordset": q_dedup_wordset,
+        "token_stats": q_token_stats,
+        "exact_dup_docs": q_exact_dup_docs,
+        "ann_topk": q_ann_topk,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_buckets": q_simhash_buckets,
+        "lang_quality": q_lang_quality,
+    }
+
+
+def oracles() -> dict:
+    return {
+        "rollup_1m": _ROLLUP_SQL.format(unit="minute", cents=_CENTS_SQL),
+        "rollup_1h_cascade": _ROLLUP_SQL.format(unit="hour", cents=_CENTS_SQL),
+        "rollup_1d_salted": _ROLLUP_SQL.format(unit="day", cents=_CENTS_SQL),
+        "gapfill_locf_1h": _GAPFILL_LOCF_SQL,
+        "gapfill_linear_1h": _GAPFILL_LINEAR_SQL,
+        "topk_heavy_users": _TOPK_SQL,
+        "sprintz_roundtrip": _ROUNDTRIP_SQL,
+        "query_on_compressed": _QOC_SQL,
+        "gorilla_roundtrip": _GORILLA_SQL,
+        "pricing_summary": _PRICING_SQL,
+        "dedup_wordset": _DEDUP_WORDSET_SQL,
+        "token_stats": _TOKEN_STATS_SQL,
+        "exact_dup_docs": _EXACT_DUP_SQL,
+        "ann_topk": _ANN_SQL,
+        # minhash_near_dup / simhash_buckets / lang_quality: rows-only
+    }
