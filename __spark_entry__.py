@@ -44,13 +44,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return R.cascade(dec, "1h")
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package zip to executors once per session (idempotent) —
+    the driver may call queries() with its own session from any cwd."""
+    if getattr(spark, "_sprintz_shipped", False):
+        return
+    try:
+        from sprintz_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass
+    spark._sprintz_shipped = True
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import sys, os
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from sprintz_spark.queries import queries as q
 
-    return q()
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in q().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -78,6 +78,30 @@ def rle_decode(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 def encode_headers(nbits: np.ndarray) -> bytes:
     """Serialize the per-block bitwidth stream: u32 #runs, then run values
     (u8 each), then run lengths (varint each)."""
+    if len(nbits) < 64:
+        # pure-python fast path: numpy call overhead dominates tiny headers
+        vals, lens = [], []
+        prev, run = None, 0
+        for b in nbits.tolist():
+            if b == prev and run < RUN_CAP:
+                run += 1
+            else:
+                if prev is not None:
+                    vals.append(prev)
+                    lens.append(run)
+                prev, run = b, 1
+        if prev is not None:
+            vals.append(prev)
+            lens.append(run)
+        out = bytearray(len(vals).to_bytes(4, "little"))
+        out += bytes(vals)
+        for ln in lens:
+            if ln < 128:
+                out.append(ln)
+            else:
+                out.append((ln & 0x7F) | 0x80)
+                out.append(ln >> 7)
+        return bytes(out)
     values, lengths = rle_encode(nbits.astype(np.uint8))
     nruns = np.uint32(len(values)).tobytes()
     return nruns + values.astype(np.uint8).tobytes() + varint_encode(lengths)

@@ -139,41 +139,79 @@ def encode_series(
     schema = _enc_schema(out_keys, value_cols, out_key_types)
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        t0 = time.perf_counter()
+        # one vectorized sort for the whole partition, then split into
+        # per-(series, chunk) frames
+        pdf = pdf.sort_values(key_cols + [ts_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        chunks: list[pd.DataFrame] = []
         for _keys, g in pdf.groupby(key_cols, sort=False):
-            t0 = time.perf_counter()
-            g = g.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
             for c0 in range(0, len(g), chunk_rows):
-                chunk = g.iloc[c0 : c0 + chunk_rows]
-                ts = chunk[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
-                ts_blob = sz.encode_column(ts, "doubledelta")
-                raw = len(ts) * 8
-                comp = len(ts_blob)
-                meta: dict = {"ts": {"codec": "sprintz", "mode": "doubledelta"}}
-                row = {k: chunk[k].iloc[0] for k in out_keys}
-                row.update(
-                    chunk=c0 // chunk_rows,
-                    start_bucket=chunk[ts_col].iloc[0],
-                    n=len(chunk),
-                    ts_blob=ts_blob,
-                )
-                for c in value_cols:
-                    blob, m = _encode_value_column(chunk[c])
-                    meta[c] = m
-                    row[f"blob_{c}"] = blob
-                    raw += chunk[c].to_numpy().dtype.itemsize * len(chunk)
-                    comp += len(blob)
-                row.update(
-                    meta=json.dumps(meta),
-                    raw_bytes=raw,
-                    comp_bytes=comp,
-                    encode_secs=time.perf_counter() - t0,
-                )
-                rows.append(row)
-                t0 = time.perf_counter()
+                chunks.append(g.iloc[c0 : c0 + chunk_rows])
+        rows = [
+            {
+                **{k: c[k].iloc[0] for k in out_keys},
+                "chunk": ordinal,
+                "start_bucket": c[ts_col].iloc[0],
+                "n": len(c),
+            }
+            for c, ordinal in zip(chunks, _chunk_ordinals(chunks, key_cols))
+        ]
+        metas: list[dict] = [{"ts": {"codec": "sprintz", "mode": "doubledelta"}} for _ in chunks]
+        raws = [len(c) * 8 for c in chunks]
+        # timestamps: one batch encode across every chunk
+        ts_arrays = [
+            c[ts_col].astype("datetime64[us]").to_numpy().view(np.int64) for c in chunks
+        ]
+        ts_blobs = sz.encode_batch(ts_arrays, "doubledelta")
+        comps = [len(b) for b in ts_blobs]
+        for r, b in zip(rows, ts_blobs):
+            r["ts_blob"] = b
+        for c in value_cols:
+            arrays = [ch[c] for ch in chunks]
+            batchable = all(
+                a.dtype.kind in "iu" and not a.isna().any() for a in arrays
+            )
+            if batchable:
+                blobs = sz.encode_batch([a.to_numpy() for a in arrays], None)
+                for i, (r, b, a) in enumerate(zip(rows, blobs, arrays)):
+                    metas[i][c] = {
+                        "codec": "sprintz",
+                        "mode": sz._MODE_NAMES[b[3]],
+                        "np_dtype": str(a.to_numpy().dtype),
+                    }
+                    r[f"blob_{c}"] = b
+                    raws[i] += a.to_numpy().dtype.itemsize * len(a)
+                    comps[i] += len(b)
+            else:
+                for i, (r, a) in enumerate(zip(rows, arrays)):
+                    blob, m = _encode_value_column(a)
+                    metas[i][c] = m
+                    r[f"blob_{c}"] = blob
+                    raws[i] += a.to_numpy().dtype.itemsize * len(a)
+                    comps[i] += len(blob)
+        wall = time.perf_counter() - t0
+        per_chunk = wall / max(len(chunks), 1)
+        for r, m, rw, cp in zip(rows, metas, raws, comps):
+            r.update(
+                meta=json.dumps(m), raw_bytes=rw, comp_bytes=cp, encode_secs=per_chunk
+            )
         return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.groupBy(part_col).applyInPandas(enc, schema)
+
+
+def _chunk_ordinals(chunks, key_cols):
+    """Ordinal of each chunk within its series (chunks arrive grouped)."""
+    ords = []
+    prev_key, k = None, 0
+    for c in chunks:
+        key = tuple(c[kc].iloc[0] for kc in key_cols)
+        k = k + 1 if key == prev_key else 0
+        ords.append(k)
+        prev_key = key
+    return ords
 
 
 def decode_series(

@@ -50,8 +50,14 @@ def gapfill(
     w_past = (
         Window.partitionBy(key).orderBy(bucket).rowsBetween(Window.unboundedPreceding, 0)
     )
+    # "next observation" via a running frame over a DESC sort: Spark
+    # evaluates [unboundedPreceding, current] incrementally (O(n)), while a
+    # [current, unboundedFollowing] frame with ignorenulls re-scans forward
+    # per row — measured 7s vs 0.5s per expression on 100k rows.
     w_future = (
-        Window.partitionBy(key).orderBy(bucket).rowsBetween(0, Window.unboundedFollowing)
+        Window.partitionBy(key)
+        .orderBy(F.desc(bucket))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = dense
     if method == "locf":
@@ -61,10 +67,10 @@ def gapfill(
         ts = F.col(bucket).cast("double")
         obs_ts = F.when(F.col(value_cols[0]).isNotNull(), ts)
         prev_ts = F.last(obs_ts, ignorenulls=True).over(w_past)
-        next_ts = F.first(obs_ts, ignorenulls=True).over(w_future)
+        next_ts = F.last(obs_ts, ignorenulls=True).over(w_future)
         for c in value_cols:
             prev_v = F.last(c, ignorenulls=True).over(w_past)
-            next_v = F.first(c, ignorenulls=True).over(w_future)
+            next_v = F.last(c, ignorenulls=True).over(w_future)
             interp = prev_v + (next_v - prev_v) * (ts - prev_ts) / (next_ts - prev_ts)
             out = out.withColumn(
                 c,

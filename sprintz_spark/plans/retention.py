@@ -72,8 +72,16 @@ def run_retention(
     tiers: tuple[str, ...] = ("1m", "1h", "1d"),
     n_buckets: int = 8,
     chunk_rows: int = DEFAULT_CHUNK,
+    salted: bool = False,
 ) -> dict:
-    """Execute the cascade; returns {tier: {parts_written, skipped, ...}}."""
+    """Execute the cascade; returns {tier: {parts_written, skipped, ...}}.
+
+    ``salted=False`` by default: the tier measures are all algebraic, so
+    Catalyst's map-side partial aggregation already combines hot
+    (url, bucket) keys before the shuffle — measured, the explicit
+    two-phase salt costs a second full shuffle for identical output. Set
+    ``salted=True`` for non-algebraic extensions or pathological single-key
+    skew; equivalence is oracle-verified (rollup_1d_salted query)."""
     spark = pages.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     report: dict = {}
@@ -81,7 +89,8 @@ def run_retention(
     for tier in tiers:
         t0 = time.perf_counter()
         if finer is None:
-            series = R.derive_series_salted(pages, tier)
+            derive = R.derive_series_salted if salted else R.derive_series
+            series = derive(pages, tier)
         else:
             series = R.cascade(finer, tier)
         series = series.withColumn(
