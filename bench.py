@@ -98,8 +98,9 @@ def main() -> None:
     qmap["topk_heavy_users"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        times[name] = round(time_query(qmap[name], spark, sf_dir), 3)
+    if os.environ.get("BENCH_ONLY_PIPELINE") != "1":
+        for name in BENCH_QUERIES:
+            times[name] = round(time_query(qmap[name], spark, sf_dir), 3)
 
     extra: dict = {}
     if os.environ.get("BENCH_SKIP_PIPELINE") != "1":

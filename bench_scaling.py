@@ -1,0 +1,117 @@
+"""Scaling-efficiency evidence: the fused derive+FIRE-encode job at two
+parallelism levels (local[N] vs local[4N]) on the same cached input.
+
+Sandbox stand-in for the north_rule's N-vs-4N-executor criterion (no real
+cluster here): efficiency = (throughput@4N / throughput@N) / 4, target
+>= 0.8. Each level runs in its own subprocess (own JVM); wall noise in the
+shared sandbox is handled by taking the best of ``--trials`` runs per
+level (the reference's own methodology is best-of-10,
+communicate/results.tex:6).
+
+Usage:
+  python bench_scaling.py                      # full comparison
+  python bench_scaling.py --level 8            # one timed run (subprocess)
+Env: SCALING_ROWS (default 24_000_000), SCALING_TRIALS (default 2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+ROWS = int(os.environ.get("SCALING_ROWS", "24000000"))
+INPUT = os.path.join(REPO, ".data", f"pages_scaling_{ROWS}")
+
+
+def ensure_input() -> None:
+    if os.path.exists(os.path.join(INPUT, "_SUCCESS")):
+        return
+    from sprintz_spark.session import get_spark
+    from sprintz_spark.sources.pages import generate_pages
+
+    spark = get_spark(app="scaling-gen", master="local[32]")
+    generate_pages(spark, ROWS).write.mode("overwrite").parquet(INPUT)
+    spark.stop()
+
+
+def run_once(cpus: int) -> dict:
+    from sprintz_spark.plans.jobs import fused_rollup_encode
+    from sprintz_spark.session import get_spark
+
+    spark = get_spark(app=f"scaling-{cpus}", master=f"local[{cpus}]")
+    pages = spark.read.parquet(INPUT)
+    n = pages.count()  # warm the scan / JVM before the timed section
+    # warm the Python workers (pandas/numpy/package imports) so the timed
+    # section measures steady-state throughput, not interpreter startup
+    fused_rollup_encode(pages.limit(20000), codec="fire", n_parts=cpus).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t0 = time.perf_counter()
+    enc = fused_rollup_encode(pages, codec="fire", n_parts=cpus * 6)
+    enc.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    spark.stop()
+    return {"cpus": cpus, "rows": n, "secs": round(wall, 2),
+            "rows_per_sec": round(n / wall, 1)}
+
+
+def run_level(cpus: int, trials: int) -> dict:
+    best = None
+    for _ in range(trials):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--level", str(cpus)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(out.stderr[-2000:])
+        r = json.loads(lines[-1])
+        if best is None or r["secs"] < best["secs"]:
+            best = r
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--level", type=int, default=None)
+    ap.add_argument("--small", type=int, default=8)
+    ap.add_argument("--big", type=int, default=32)
+    args = ap.parse_args()
+    ensure_input()
+    if args.level:
+        print(json.dumps(run_once(args.level)))
+        return
+    trials = int(os.environ.get("SCALING_TRIALS", "2"))
+    # interleave levels so shared-sandbox load noise hits both equally
+    small = big = None
+    for _ in range(trials):
+        s1 = run_level(args.small, 1)
+        b1 = run_level(args.big, 1)
+        if small is None or s1["secs"] < small["secs"]:
+            small = s1
+        if big is None or b1["secs"] < big["secs"]:
+            big = b1
+    factor = args.big / args.small
+    eff = (big["rows_per_sec"] / small["rows_per_sec"]) / factor
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "job": "fused derive(1m/1h/1d) + FIRE encode",
+        "input_rows": small["rows"],
+        "small": small,
+        "big": big,
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    main()

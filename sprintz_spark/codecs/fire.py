@@ -54,6 +54,8 @@ def fire_encode(x: np.ndarray, w: int) -> np.ndarray:
     x = x.astype(su, copy=False)
     n = len(x)
     assert n % BLOCK == 0
+    if n == 0:
+        return np.zeros(0, dtype=su)
     # deltas known up front: d[i] = x[i] - x[i-1], d[0] = x[0] (prev_val=0)
     d = np.empty(n, dtype=su)
     d[0] = x[0]

@@ -149,98 +149,179 @@ def choose_mode(x: np.ndarray, candidates=("delta", "doubledelta", "fire")) -> s
     return best
 
 
-def encode_batch(
-    arrays: list[np.ndarray], mode: str | None = None
-) -> list[bytes]:
-    """Encode MANY series with one set of global numpy passes.
+def _cumsum0(a: np.ndarray) -> np.ndarray:
+    return np.concatenate([[0], np.cumsum(a)])
 
-    The per-series wire format is identical to encode_column (decode_column
-    reads each blob unchanged); only the computation is batched: all series
-    are padded to block multiples, concatenated, delta/double-delta coded
-    globally with boundary repairs, and packed in one width-grouped pass.
-    Per-series cost (sum of block byte widths via np.add.reduceat) picks
-    delta vs double-delta individually when ``mode`` is None.
 
-    This removes the ~150-400us fixed numpy overhead per tiny series —
-    the difference between 2k and 50k series/sec inside an Arrow batch.
-    """
-    if not arrays:
-        return []
-    dtype = arrays[0].dtype
-    w = dtype.itemsize * 8
-    su = _UNSIGNED[w]
-    if mode in ("fire", "raw", "dyndelta"):
-        return [encode_column(a, mode) for a in arrays]
-    ns = np.array([len(a) for a in arrays], dtype=np.int64)
+def _pad_concat(values: np.ndarray, ns: np.ndarray, su) -> tuple:
+    """Scatter a concatenated segment array into a block-padded concat
+    (each segment padded by repeating its last value) — all vectorized."""
     pads = (-ns) % BLOCK
-    padded_lens = ns + pads
-    # pad each series by repeating its last value (zero residuals)
-    parts = []
-    for a in arrays:
-        if a.dtype.kind not in "iu":
-            raise TypeError(f"encode_batch takes integer arrays, got {a.dtype}")
-        ua = a.view(su)
-        p, _ = _pad_repeat_last(ua)
-        parts.append(p)
-    u = (
-        np.concatenate(parts)
-        if len(parts) > 1
-        else (parts[0] if len(parts[0]) else np.zeros(0, dtype=su))
-    )
-    starts = np.concatenate([[0], np.cumsum(padded_lens)[:-1]])
-    nonempty = padded_lens > 0
+    plens = ns + pads
+    src_starts = _cumsum0(ns)
+    dst_starts = _cumsum0(plens)
+    v = values.view(su)
+    u = np.zeros(int(dst_starts[-1]), dtype=su)
+    if len(v):
+        pos = np.arange(len(v), dtype=np.int64) + np.repeat(
+            dst_starts[:-1] - src_starts[:-1], ns
+        )
+        u[pos] = v
+        sel = (pads > 0) & (ns > 0)
+        if sel.any():
+            p = pads[sel]
+            base = dst_starts[:-1][sel] + ns[sel]
+            intra = np.arange(int(p.sum()), dtype=np.int64) - np.repeat(_cumsum0(p)[:-1], p)
+            u[np.repeat(base, p) + intra] = np.repeat(v[src_starts[1:][sel] - 1], p)
+    return u, pads, plens, dst_starts
+
+
+def encode_batch_concat(
+    values: np.ndarray, lengths: np.ndarray, mode: str | None = None
+) -> list[bytes]:
+    """encode_batch over a single concatenated value array cut into
+    segments of ``lengths`` — zero per-series array slicing. All padding,
+    forecasting, packing and costing are global numpy passes; only the
+    final per-series blob assembly is a Python loop of cheap slices."""
+    values = np.asarray(values)
+    if values.dtype.kind not in "iu":
+        raise TypeError(f"encode_batch_concat takes integer arrays, got {values.dtype}")
+    w = values.dtype.itemsize * 8
+    su = _UNSIGNED[w]
+    ns = np.asarray(lengths, dtype=np.int64)
+    if mode == "fire":
+        return encode_batch_concat_fire(values, ns)
+    if mode in ("raw", "dyndelta"):
+        starts = _cumsum0(ns)
+        return [
+            encode_column(values[starts[i] : starts[i + 1]], mode)
+            for i in range(len(ns))
+        ]
+    u, pads, plens, dst_starts = _pad_concat(values, ns, su)
+    return _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode)
+
+
+def encode_batch_concat_fire(values: np.ndarray, lengths: np.ndarray) -> list[bytes]:
+    """Batched FIRE encoding: the forecaster itself is per-segment (its
+    coefficient state is sequential by design — reference:
+    sprintz_xff_rle.cpp:203-275), but padding, bitwidth computation,
+    packing, and blob assembly are shared global passes."""
+    values = np.asarray(values)
+    w = values.dtype.itemsize * 8
+    if w not in (8, 16):
+        raise ValueError("fire supports 8/16-bit elements only")
+    su = _UNSIGNED[w]
+    ns = np.asarray(lengths, dtype=np.int64)
+    u, pads, plens, dst_starts = _pad_concat(values, ns, su)
+    z = np.empty_like(u)
+    for i in range(len(ns)):
+        lo, hi = dst_starts[i], dst_starts[i + 1]
+        if hi > lo:
+            z[lo:hi] = fire.fire_encode(u[lo:hi], w)
+    nb = bitpack.block_nbits(z, BLOCK) if len(u) else np.zeros(0, np.uint8)
+    payload = bitpack.pack_blocks(z, nb, BLOCK) if len(u) else b""
+    byte_off = _cumsum0(nb.astype(np.int64))
+    blk_starts = (dst_starts[:-1] // BLOCK).astype(np.int64)
+    blk_hi = blk_starts + plens // BLOCK
+    pv = memoryview(payload)
+    head_mid = bytes([MODES["fire"], w])
+    out = []
+    for i in range(len(ns)):
+        headers = rle.encode_headers(nb[blk_starts[i] : blk_hi[i]])
+        head = (
+            MAGIC
+            + head_mid
+            + int(ns[i]).to_bytes(4, "little")
+            + bytes([pads[i]])
+            + b"\x00\x00"
+        )
+        out.append(head + headers + bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]]))
+    return out
+
+
+def _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode):
+    su = _UNSIGNED[w]
+    starts = dst_starts[:-1]
+    nonempty = plens > 0
     s_idx = starts[nonempty]
-    # global delta with per-series restart: d1[s] = u[s]
     d1 = np.empty_like(u)
     if len(u):
         d1[0] = u[0]
         np.subtract(u[1:], u[:-1], out=d1[1:])
         d1[s_idx] = u[s_idx]
-    # global double-delta with restarts: d2[s]=u[s]; d2[s+1]=d1[s+1]-d1[s]
     d2 = np.empty_like(d1)
     if len(u):
         d2[0] = d1[0]
         np.subtract(d1[1:], d1[:-1], out=d2[1:])
         d2[s_idx] = u[s_idx]
-        s1 = s_idx[padded_lens[nonempty] > 1] + 1
+        s1 = s_idx[plens[nonempty] > 1] + 1
         d2[s1] = d1[s1] - d1[s1 - 1]
     z1 = zigzag.encode(d1.view(_SIGNED[w]))
     z2 = zigzag.encode(d2.view(_SIGNED[w]))
     nb1 = bitpack.block_nbits(z1, BLOCK) if len(u) else np.zeros(0, np.uint8)
     nb2 = bitpack.block_nbits(z2, BLOCK) if len(u) else np.zeros(0, np.uint8)
     blk_starts = (starts // BLOCK).astype(np.int64)
-    blk_lens = padded_lens // BLOCK
+    blk_lens = plens // BLOCK
+    n_series = len(ns)
     if mode == "delta":
-        choose2 = np.zeros(len(arrays), dtype=bool)
+        choose2 = np.zeros(n_series, dtype=bool)
     elif mode == "doubledelta":
-        choose2 = np.ones(len(arrays), dtype=bool)
-    else:  # per-series cost-based choice
-        cost1 = np.add.reduceat(nb1.astype(np.int64), np.minimum(blk_starts, max(len(nb1) - 1, 0))) if len(nb1) else np.zeros(len(arrays))
-        cost2 = np.add.reduceat(nb2.astype(np.int64), np.minimum(blk_starts, max(len(nb2) - 1, 0))) if len(nb2) else np.zeros(len(arrays))
-        # reduceat needs strictly valid indices; empty series contribute 0
-        choose2 = cost2 < cost1
+        choose2 = np.ones(n_series, dtype=bool)
+    else:
+        if len(nb1):
+            idx = np.minimum(blk_starts, len(nb1) - 1)
+            cost1 = np.add.reduceat(nb1.astype(np.int64), idx)
+            cost2 = np.add.reduceat(nb2.astype(np.int64), idx)
+            choose2 = cost2 < cost1
+        else:
+            choose2 = np.zeros(n_series, dtype=bool)
     blk_mask = np.repeat(choose2, blk_lens)
     nb = np.where(blk_mask, nb2, nb1).astype(np.uint8)
-    samp_mask = np.repeat(choose2, padded_lens)
+    samp_mask = np.repeat(choose2, plens)
     z = np.where(samp_mask, z2, z1)
     payload = bitpack.pack_blocks(z, nb, BLOCK) if len(u) else b""
-    byte_off = np.concatenate([[0], np.cumsum(nb.astype(np.int64))])
+    byte_off = _cumsum0(nb.astype(np.int64))
     out: list[bytes] = []
     pv = memoryview(payload)
-    for i in range(len(arrays)):
-        m = "doubledelta" if choose2[i] else "delta"
-        lo_b, hi_b = blk_starts[i], blk_starts[i] + blk_lens[i]
-        headers = rle.encode_headers(nb[lo_b:hi_b])
-        body = pv[byte_off[lo_b] : byte_off[hi_b]]
+    blk_hi = blk_starts + blk_lens
+    mode_bytes = [bytes([MODES["delta"]]), bytes([MODES["doubledelta"]])]
+    wb = bytes([w])
+    zero16 = b"\x00\x00"
+    for i in range(n_series):
+        headers = rle.encode_headers(nb[blk_starts[i] : blk_hi[i]])
         head = (
             MAGIC
-            + bytes([MODES[m], w])
-            + np.uint32(ns[i]).tobytes()
+            + mode_bytes[int(choose2[i])]
+            + wb
+            + int(ns[i]).to_bytes(4, "little")
             + bytes([pads[i]])
-            + np.uint16(0).tobytes()
+            + zero16
         )
-        out.append(head + headers + bytes(body))
+        out.append(head + headers + bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]]))
     return out
+
+
+def encode_batch(
+    arrays: list[np.ndarray], mode: str | None = None
+) -> list[bytes]:
+    """Encode MANY series with one set of global numpy passes.
+
+    The per-series wire format is identical to encode_column (decode_column
+    reads each blob unchanged); only the computation is batched. See
+    encode_batch_concat for the zero-copy variant used by the Spark UDFs.
+    """
+    if not arrays:
+        return []
+    for a in arrays:
+        if np.asarray(a).dtype.kind not in "iu":
+            raise TypeError(f"encode_batch takes integer arrays, got {a.dtype}")
+    lengths = np.array([len(a) for a in arrays], dtype=np.int64)
+    values = (
+        np.concatenate([np.asarray(a) for a in arrays])
+        if len(arrays) > 1
+        else np.asarray(arrays[0])
+    )
+    return encode_batch_concat(values, lengths, mode)
 
 
 def query_compressed(buf: bytes, op: str) -> np.ndarray | int:

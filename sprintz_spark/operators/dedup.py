@@ -238,23 +238,38 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 7,
 ) -> DataFrame:
-    """Cosine near-dup pairs via signed-random-projection LSH buckets, then
-    exact cosine verification inside buckets."""
+    """Cosine near-dup pairs via signed-random-projection LSH, then exact
+    cosine verification inside buckets.
+
+    Standard multi-table LSH: ``n_tables`` independent sets of ``n_planes``
+    hyperplanes; a pair is a candidate if it collides in ANY table
+    (recall ~= 1-(1-p^k)^L for collision prob p = 1 - acos(cos)/pi)."""
     dim_row = emb.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"]
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+    planes = rng.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
 
-    @F.pandas_udf(IntegerType())
-    def bucket(vecs: pd.Series) -> pd.Series:
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (m @ planes.T) > 0
-        return pd.Series(np.packbits(bits, axis=1, bitorder="little")[:, :2].view(np.uint16).astype(np.int32).ravel())
+        out = np.zeros((len(m), n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            bits = (m @ planes[t].T) > 0
+            code = np.zeros(len(m), dtype=np.int32)
+            for i in range(n_planes):
+                code |= bits[:, i].astype(np.int32) << i
+            out[:, t] = code | (t << 24)  # table id in high bits
+        return pd.Series(list(out))
 
-    b = emb.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bkt"))
+    b = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(buckets(F.col(vec_col))).alias("bkt"),
+    )
     l, r = b.alias("l"), b.alias("r")
     to_d = lambda side: F.transform(F.col(f"{side}.{vec_col}"), lambda x: x.cast("double"))
     dot = F.aggregate(
@@ -276,5 +291,6 @@ def embedding_near_dup(
             F.round(sim, 4).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])  # pairs may collide in >1 table
         .orderBy("id_a", "id_b")
     )

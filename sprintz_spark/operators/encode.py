@@ -85,6 +85,8 @@ def _decode_value_column(buf: bytes, meta: dict) -> pd.Series:
     if "qparams" in meta:
         return Q.unquantize(arr.view(np.dtype(meta["qparams"]["dtype"])),
                             Q.QuantizeParams.from_dict(meta["qparams"]))
+    if "offset" in meta:  # narrow-width offset quantization (FIRE path)
+        return pd.Series(arr.astype(np.int64) + np.int64(meta["offset"]))
     return pd.Series(arr)
 
 
@@ -138,80 +140,82 @@ def encode_series(
     ) + key_types
     schema = _enc_schema(out_keys, value_cols, out_key_types)
 
+    col_names = [f.name for f in schema.fields]
+
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.perf_counter()
-        # one vectorized sort for the whole partition, then split into
-        # per-(series, chunk) frames
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(columns=col_names)
+        # one vectorized sort, then pure-numpy segmentation: series
+        # boundaries from key-change points, chunk pieces by arithmetic —
+        # no per-series pandas objects anywhere
         pdf = pdf.sort_values(key_cols + [ts_col], kind="mergesort").reset_index(
             drop=True
         )
-        chunks: list[pd.DataFrame] = []
-        for _keys, g in pdf.groupby(key_cols, sort=False):
-            for c0 in range(0, len(g), chunk_rows):
-                chunks.append(g.iloc[c0 : c0 + chunk_rows])
-        rows = [
-            {
-                **{k: c[k].iloc[0] for k in out_keys},
-                "chunk": ordinal,
-                "start_bucket": c[ts_col].iloc[0],
-                "n": len(c),
-            }
-            for c, ordinal in zip(chunks, _chunk_ordinals(chunks, key_cols))
-        ]
-        metas: list[dict] = [{"ts": {"codec": "sprintz", "mode": "doubledelta"}} for _ in chunks]
-        raws = [len(c) * 8 for c in chunks]
-        # timestamps: one batch encode across every chunk
-        ts_arrays = [
-            c[ts_col].astype("datetime64[us]").to_numpy().view(np.int64) for c in chunks
-        ]
-        ts_blobs = sz.encode_batch(ts_arrays, "doubledelta")
-        comps = [len(b) for b in ts_blobs]
-        for r, b in zip(rows, ts_blobs):
-            r["ts_blob"] = b
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in key_cols:
+            a = pdf[k].to_numpy()
+            change[1:] |= a[1:] != a[:-1]
+        s_starts = np.flatnonzero(change)
+        s_lens = np.diff(np.append(s_starts, n))
+        reps = (s_lens + chunk_rows - 1) // chunk_rows
+        piece_series = np.repeat(np.arange(len(s_starts)), reps)
+        piece_ord = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        piece_starts = s_starts[piece_series] + piece_ord * chunk_rows
+        piece_lens = np.minimum(chunk_rows, s_lens[piece_series] - piece_ord * chunk_rows)
+        n_pieces = len(piece_starts)
+
+        ts_np = pdf[ts_col].astype("datetime64[us]").to_numpy()
+        ts_blobs = sz.encode_batch_concat(ts_np.view(np.int64), piece_lens, "doubledelta")
+        raws = piece_lens * 8
+        comps = np.fromiter((len(b) for b in ts_blobs), np.int64, n_pieces)
+        col_metas: dict[str, list] = {}
+        col_blobs: dict[str, list] = {}
         for c in value_cols:
-            arrays = [ch[c] for ch in chunks]
-            batchable = all(
-                a.dtype.kind in "iu" and not a.isna().any() for a in arrays
-            )
-            if batchable:
-                blobs = sz.encode_batch([a.to_numpy() for a in arrays], None)
-                for i, (r, b, a) in enumerate(zip(rows, blobs, arrays)):
-                    metas[i][c] = {
-                        "codec": "sprintz",
-                        "mode": sz._MODE_NAMES[b[3]],
-                        "np_dtype": str(a.to_numpy().dtype),
-                    }
-                    r[f"blob_{c}"] = b
-                    raws[i] += a.to_numpy().dtype.itemsize * len(a)
-                    comps[i] += len(b)
+            s = pdf[c]
+            if s.dtype.kind in "iu":
+                blobs = sz.encode_batch_concat(s.to_numpy(), piece_lens, None)
+                dt = str(s.dtype)
+                metas_c = [
+                    {"codec": "sprintz", "mode": sz._MODE_NAMES[b[3]], "np_dtype": dt}
+                    for b in blobs
+                ]
+                raws = raws + s.dtype.itemsize * piece_lens
             else:
-                for i, (r, a) in enumerate(zip(rows, arrays)):
-                    blob, m = _encode_value_column(a)
-                    metas[i][c] = m
-                    r[f"blob_{c}"] = blob
-                    raws[i] += a.to_numpy().dtype.itemsize * len(a)
-                    comps[i] += len(blob)
+                blobs, metas_c = [], []
+                for st, ln in zip(piece_starts, piece_lens):
+                    blob, m = _encode_value_column(s.iloc[st : st + ln])
+                    blobs.append(blob)
+                    metas_c.append(m)
+                raws = raws + 8 * piece_lens
+            comps = comps + np.fromiter((len(b) for b in blobs), np.int64, n_pieces)
+            col_blobs[c] = blobs
+            col_metas[c] = metas_c
         wall = time.perf_counter() - t0
-        per_chunk = wall / max(len(chunks), 1)
-        for r, m, rw, cp in zip(rows, metas, raws, comps):
-            r.update(
-                meta=json.dumps(m), raw_bytes=rw, comp_bytes=cp, encode_secs=per_chunk
-            )
-        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+        out = pd.DataFrame(
+            {k: pdf[k].to_numpy()[piece_starts] for k in out_keys}
+        )
+        out["chunk"] = piece_ord
+        out["start_bucket"] = ts_np[piece_starts]
+        out["n"] = piece_lens
+        out["ts_blob"] = ts_blobs
+        ts_meta = {"ts": {"codec": "sprintz", "mode": "doubledelta"}}
+        out["meta"] = [
+            json.dumps({**ts_meta, **{c: col_metas[c][i] for c in value_cols}})
+            for i in range(n_pieces)
+        ]
+        out["raw_bytes"] = raws
+        out["comp_bytes"] = comps
+        out["encode_secs"] = wall / n_pieces
+        for c in value_cols:
+            out[f"blob_{c}"] = col_blobs[c]
+        return out[col_names]
 
     return df.groupBy(part_col).applyInPandas(enc, schema)
-
-
-def _chunk_ordinals(chunks, key_cols):
-    """Ordinal of each chunk within its series (chunks arrive grouped)."""
-    ords = []
-    prev_key, k = None, 0
-    for c in chunks:
-        key = tuple(c[kc].iloc[0] for kc in key_cols)
-        k = k + 1 if key == prev_key else 0
-        ords.append(k)
-        prev_key = key
-    return ords
 
 
 def decode_series(

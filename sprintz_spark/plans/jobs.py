@@ -1,0 +1,237 @@
+"""Fused high-throughput job: derive ALL retention tiers + sprintz-encode
+in a single shuffle.
+
+Shape (the 100 TB design):
+
+    pages ──project──> (url, warc_ts, nbytes, part)        # ~40B rows, not pages
+          ──shuffle on part=hash(url)──> applyInPandas:
+               per partition (every row of its urls is present):
+                 sort once by (url, ts)
+                 for each tier: bucket-truncate (pure epoch arithmetic,
+                 UTC), group boundaries by (url, bucket) change points,
+                 aggregate with np.*.reduceat, then encode the per-url
+                 series with the batched sprintz kernels
+          ──> one output row per (tier, url, chunk) with binary blobs
+
+One wide job, one shuffle, no intermediate materialization. Compared to
+the modular plan (plans.retention), this trades per-tier resumability for
+~4x less fixed overhead; both produce bit-identical tier values (tested).
+
+``codec='fire'`` offset-quantizes each measure piece to u8/u16 when its
+span fits and runs the FIRE forecaster (the reference's max-ratio
+setting); otherwise the delta/double-delta cost-based path is used.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from sprintz_spark.codecs import sprintz as sz
+
+US = 1_000_000
+TIER_US = {"1m": 60 * US, "1h": 3600 * US, "1d": 86400 * US}
+MEASURES = ["crawl_count", "byte_size_sum", "byte_size_max", "byte_size_min"]
+
+_SCHEMA = StructType(
+    [
+        StructField("tier", StringType()),
+        StructField("part", LongType()),
+        StructField("url", StringType()),
+        StructField("chunk", LongType()),
+        StructField("start_bucket", TimestampType()),
+        StructField("n", LongType()),
+        StructField("ts_blob", BinaryType()),
+        StructField("meta", StringType()),
+        StructField("raw_bytes", LongType()),
+        StructField("comp_bytes", LongType()),
+        StructField("encode_secs", DoubleType()),
+    ]
+    + [StructField(f"blob_{m}", BinaryType()) for m in MEASURES]
+)
+_COLS = [f.name for f in _SCHEMA.fields]
+
+
+def _encode_measure(vals, piece_starts, piece_lens, codec):
+    """Encode one measure column cut into pieces; returns (blobs, metas).
+
+    For codec='fire': per-piece offset quantization to the narrowest of
+    u8/u16 via reduceat min/max; pieces whose span exceeds u16 fall back
+    to the 64-bit delta path (mixed-width pieces are grouped per width so
+    each width is one batched call)."""
+    n_pieces = len(piece_starts)
+    if codec != "fire":
+        blobs = sz.encode_batch_concat(vals, piece_lens, None)
+        metas = [
+            {"codec": "sprintz", "mode": sz._MODE_NAMES[b[3]], "np_dtype": "int64"}
+            for b in blobs
+        ]
+        return blobs, metas
+    idx = np.minimum(piece_starts, max(len(vals) - 1, 0))
+    mins = np.minimum.reduceat(vals, idx) if len(vals) else np.zeros(n_pieces, np.int64)
+    maxs = np.maximum.reduceat(vals, idx) if len(vals) else np.zeros(n_pieces, np.int64)
+    spans = maxs - mins
+    width = np.where(spans <= 0xFF, 8, np.where(spans <= 0xFFFF, 16, 64))
+    blobs: list = [None] * n_pieces
+    metas: list = [None] * n_pieces
+    for w, dt in ((8, np.uint8), (16, np.uint16), (64, None)):
+        sel = np.flatnonzero(width == w)
+        if not len(sel):
+            continue
+        # gather the selected pieces into one concat (vectorized)
+        lens_w = piece_lens[sel]
+        gather = np.concatenate(
+            [np.arange(piece_starts[i], piece_starts[i] + piece_lens[i]) for i in sel]
+        ) if len(sel) else np.empty(0, np.int64)
+        sub = vals[gather]
+        if w == 64:
+            bl = sz.encode_batch_concat(sub, lens_w, None)
+            for j, i in enumerate(sel):
+                blobs[i] = bl[j]
+                metas[i] = {
+                    "codec": "sprintz",
+                    "mode": sz._MODE_NAMES[bl[j][3]],
+                    "np_dtype": "int64",
+                }
+        else:
+            offs = np.repeat(mins[sel], lens_w)
+            q = (sub - offs).astype(dt)
+            bl = sz.encode_batch_concat_fire(q, lens_w)
+            for j, i in enumerate(sel):
+                blobs[i] = bl[j]
+                metas[i] = {
+                    "codec": "sprintz",
+                    "mode": "fire",
+                    "np_dtype": f"uint{w}",
+                    "offset": int(mins[i]),
+                }
+    return blobs, metas
+
+
+def _segment(url_arr, bucket_arr):
+    """Group boundaries where (url, bucket) changes; arrays must be sorted."""
+    n = len(url_arr)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    change[1:] = (url_arr[1:] != url_arr[:-1]) | (bucket_arr[1:] != bucket_arr[:-1])
+    starts = np.flatnonzero(change)
+    return starts
+
+
+def fused_rollup_encode(
+    pages: DataFrame,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    n_parts: int | None = None,
+    codec: str = "auto",
+    chunk_rows: int = 1 << 16,
+) -> DataFrame:
+    if codec not in ("auto", "fire"):
+        raise ValueError(f"unknown codec {codec!r}: use 'auto' or 'fire'")
+    spark = pages.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism * 2
+
+    def udf(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        if not len(pdf):
+            return pd.DataFrame(columns=_COLS)
+        pdf = pdf.sort_values(["url", "warc_ts"], kind="mergesort")
+        url_arr = pdf["url"].to_numpy()
+        ts_us = pdf["warc_ts"].astype("datetime64[us]").to_numpy().view(np.int64)
+        nbytes = pdf["nbytes"].to_numpy()
+        part = int(pdf["part"].iloc[0])
+        ones = np.ones(len(pdf), dtype=np.int64)
+        frames = []
+        for tier in tiers:
+            step = TIER_US[tier]
+            bucket = ts_us - ts_us % step
+            g_starts = _segment(url_arr, bucket)
+            counts = np.add.reduceat(ones, g_starts)
+            sums = np.add.reduceat(nbytes, g_starts)
+            maxs = np.maximum.reduceat(nbytes, g_starts)
+            mins = np.minimum.reduceat(nbytes, g_starts)
+            g_url = url_arr[g_starts]
+            g_bucket = bucket[g_starts]
+            # series (per-url) boundaries over the grouped arrays
+            s_change = np.zeros(len(g_starts), dtype=bool)
+            s_change[0] = True
+            s_change[1:] = g_url[1:] != g_url[:-1]
+            s_starts = np.flatnonzero(s_change)
+            s_lens = np.diff(np.append(s_starts, len(g_starts)))
+            reps = (s_lens + chunk_rows - 1) // chunk_rows
+            p_series = np.repeat(np.arange(len(s_starts)), reps)
+            p_ord = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+            )
+            p_starts = s_starts[p_series] + p_ord * chunk_rows
+            p_lens = np.minimum(chunk_rows, s_lens[p_series] - p_ord * chunk_rows)
+            n_pieces = len(p_starts)
+            ts_blobs = sz.encode_batch_concat(g_bucket, p_lens, "doubledelta")
+            raws = p_lens * 8
+            comps = np.fromiter((len(b) for b in ts_blobs), np.int64, n_pieces)
+            out = pd.DataFrame(
+                {
+                    "tier": tier,
+                    "part": part,
+                    "url": g_url[p_starts],
+                    "chunk": p_ord,
+                    "start_bucket": g_bucket[p_starts].view("datetime64[us]"),
+                    "n": p_lens,
+                    "ts_blob": ts_blobs,
+                }
+            )
+            metas_all = [
+                {"ts": {"codec": "sprintz", "mode": "doubledelta"}}
+                for _ in range(n_pieces)
+            ]
+            for name, arr in (
+                ("crawl_count", counts),
+                ("byte_size_sum", sums),
+                ("byte_size_max", maxs),
+                ("byte_size_min", mins),
+            ):
+                blobs, metas = _encode_measure(arr, p_starts, p_lens, codec)
+                out[f"blob_{name}"] = blobs
+                for i in range(n_pieces):
+                    metas_all[i][name] = metas[i]
+                raws = raws + 8 * p_lens
+                comps = comps + np.fromiter((len(b) for b in blobs), np.int64, n_pieces)
+            out["meta"] = [json.dumps(m) for m in metas_all]
+            out["raw_bytes"] = raws
+            out["comp_bytes"] = comps
+            frames.append(out)
+        res = pd.concat(frames, ignore_index=True)
+        res["encode_secs"] = (time.perf_counter() - t0) / max(len(res), 1)
+        return res[_COLS]
+
+    slim = pages.select(
+        "url",
+        "warc_ts",
+        F.length("html").cast("long").alias("nbytes"),
+        F.pmod(F.xxhash64("url"), F.lit(n_parts)).alias("part"),
+    )
+    return slim.groupBy("part").applyInPandas(udf, _SCHEMA)
+
+
+def decode_fused_tier(enc: DataFrame, tier: str) -> DataFrame:
+    """Decode one tier of the fused output back to plain series rows."""
+    from sprintz_spark.operators.encode import decode_series
+
+    return decode_series(
+        enc.where(F.col("tier") == tier),
+        key_cols=["part", "url"],
+        value_cols=MEASURES,
+    ).drop("part")

@@ -399,6 +399,42 @@ SELECT vec_id FROM (
 """
 
 
+# --- as-of join (point-in-time) --------------------------------------------
+
+def q_asof_join(spark, sf_dir):
+    """For each purchase event, the user's most recent click cents at or
+    before the purchase time (classic point-in-time join)."""
+    from sprintz_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(_cents()).alias("click_cents"))
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["click_cents"],
+    )
+    return out.select("user_id", "ts", "event_id", "click_cents")
+
+
+_ASOF_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, ts, max({_CENTS_SQL}) AS click_cents
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.ts, p.event_id, c.click_cents
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 # --- rows-only (non-SQL-expressible) engine ops ---------------------------
 
 def q_minhash_near_dup(spark, sf_dir):
@@ -413,6 +449,50 @@ def q_simhash_buckets(spark, sf_dir):
     from sprintz_spark.operators.dedup import simhash_candidates
 
     return simhash_candidates(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_verified(spark, sf_dir):
+    """MinHash-LSH candidates verified with exact n-gram Jaccard (rows-only:
+    the banding stage isn't SQL-expressible)."""
+    from sprintz_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_verify
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.3)
+    return ngram_jaccard_verify(docs, pairs)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from sprintz_spark.operators.dedup import embedding_near_dup
+
+    # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51),
+    # so use a candidate threshold that yields a non-trivial result set
+    return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-k (rows-only: approximate by design)."""
+    from sprintz_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (
+        emb.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return ivf_topk(ivf_index(emb), queries_df, k=5)
+
+
+def q_image_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads -> per-channel stats + phash
+    via mapInPandas (deterministic fake decoder; schema/batching real)."""
+    from sprintz_spark.operators.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    payloads = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return image_features(payloads).select(
+        "doc_id", "mean_r", "mean_g", "mean_b", F.round("std_all", 4).alias("std_all"), "phash"
+    )
 
 
 def q_lang_quality(spark, sf_dir):
@@ -445,9 +525,14 @@ def queries() -> dict:
         "token_stats": q_token_stats,
         "exact_dup_docs": q_exact_dup_docs,
         "ann_topk": q_ann_topk,
+        "asof_join": q_asof_join,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_buckets": q_simhash_buckets,
         "lang_quality": q_lang_quality,
+        "ngram_jaccard_verified": q_ngram_jaccard_verified,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ivf_topk": q_ivf_topk,
+        "image_features": q_image_features,
     }
 
 
@@ -467,5 +552,8 @@ def oracles() -> dict:
         "token_stats": _TOKEN_STATS_SQL,
         "exact_dup_docs": _EXACT_DUP_SQL,
         "ann_topk": _ANN_SQL,
-        # minhash_near_dup / simhash_buckets / lang_quality: rows-only
+        "asof_join": _ASOF_SQL,
+        # rows-only (no SQL equivalent): minhash_near_dup, simhash_buckets,
+        # lang_quality, ngram_jaccard_verified, embedding_near_dup,
+        # ivf_topk (approximate), image_features (fake decoder)
     }

@@ -1,0 +1,53 @@
+"""The fused single-shuffle job must produce bit-identical tier values to
+the modular retention plan, for both codec settings."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sprintz_spark.codecs import sprintz as sz
+from sprintz_spark.operators import rollup as R
+from sprintz_spark.plans.jobs import decode_fused_tier, fused_rollup_encode
+
+
+def test_batch_fire_matches_encode_column():
+    rng = np.random.default_rng(3)
+    arrays = [
+        (np.cumsum(rng.integers(-3, 4, n)) & 0xFFFF).astype(np.uint16)
+        for n in [0, 1, 8, 40, 100]
+    ]
+    lens = np.array([len(a) for a in arrays])
+    concat = np.concatenate([a for a in arrays if len(a)]) if any(lens) else np.zeros(0, np.uint16)
+    blobs = sz.encode_batch_concat_fire(concat, lens)
+    for a, b in zip(arrays, blobs):
+        assert b == sz.encode_column(a, "fire")
+        np.testing.assert_array_equal(sz.decode_column(b), a)
+
+
+@pytest.mark.parametrize("codec", ["auto", "fire"])
+def test_fused_equals_modular(spark, pages_small, codec):
+    enc = fused_rollup_encode(pages_small, codec=codec, n_parts=4).cache()
+    tiers = R.rollup_tiers(pages_small)
+    for tier in ("1m", "1h", "1d"):
+        got = (
+            decode_fused_tier(enc, tier)
+            .toPandas()
+            .sort_values(["url", "bucket"])
+            .reset_index(drop=True)
+        )
+        want = (
+            tiers[tier].toPandas().sort_values(["url", "bucket"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(want[got.columns], got)
+    enc.unpersist()
+
+
+def test_fused_fire_actually_uses_fire(spark, pages_small):
+    import json
+
+    enc = fused_rollup_encode(pages_small, codec="fire", n_parts=4)
+    metas = [json.loads(r["meta"]) for r in enc.limit(50).collect()]
+    fire_cols = sum(
+        1 for m in metas for c, v in m.items() if c != "ts" and v.get("mode") == "fire"
+    )
+    assert fire_cols > 0
