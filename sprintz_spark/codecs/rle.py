@@ -109,7 +109,21 @@ def encode_headers(nbits: np.ndarray) -> bytes:
 
 def decode_headers(buf: bytes) -> tuple[np.ndarray, int]:
     """Returns (nbits array, bytes consumed)."""
-    nruns = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    nruns = int.from_bytes(buf[:4], "little")
+    if nruns < 16:
+        # pure-python fast path for tiny headers
+        values, lengths, pos = [], [], 4 + nruns
+        for i in range(nruns):
+            values.append(buf[4 + i])
+            b0 = buf[pos]
+            if b0 & 0x80:
+                lengths.append((b0 & 0x7F) | (buf[pos + 1] << 7))
+                pos += 2
+            else:
+                lengths.append(b0)
+                pos += 1
+        out = np.repeat(np.array(values, dtype=np.uint8), lengths) if nruns else np.zeros(0, np.uint8)
+        return out, pos
     values = np.frombuffer(buf[4 : 4 + nruns], dtype=np.uint8)
     lengths, used = varint_decode(buf[4 + nruns :], nruns)
     return rle_decode(values, lengths), 4 + nruns + used

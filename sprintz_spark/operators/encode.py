@@ -90,6 +90,43 @@ def _decode_value_column(buf: bytes, meta: dict) -> pd.Series:
     return pd.Series(arr)
 
 
+def _transform_decoded(arr: np.ndarray, meta: dict) -> np.ndarray | pd.Series:
+    """Apply a blob's meta transform to a decode_batch output array."""
+    if meta["codec"] == "gorilla":  # pragma: no cover - handled per blob
+        raise ValueError("gorilla blobs are not SZ1 decode_batch outputs")
+    out = arr.view(np.dtype(meta["np_dtype"]))
+    if "qparams" in meta:
+        return Q.unquantize(
+            out.view(np.dtype(meta["qparams"]["dtype"])),
+            Q.QuantizeParams.from_dict(meta["qparams"]),
+        )
+    if "offset" in meta:
+        return out.astype(np.int64) + np.int64(meta["offset"])
+    return out
+
+
+def decode_value_columns_batch(
+    blobs: list[bytes], metas: list[dict]
+) -> list[np.ndarray | pd.Series]:
+    """Batched decode of one value column across many chunks; gorilla and
+    quantized blobs fall back to the per-blob path (they carry per-chunk
+    float state), everything else shares decode_batch's global passes."""
+    simple_idx = [
+        i
+        for i, m in enumerate(metas)
+        if m["codec"] == "sprintz" and "qparams" not in m
+    ]
+    out: list = [None] * len(blobs)
+    if simple_idx:
+        decoded = sz.decode_batch([blobs[i] for i in simple_idx])
+        for i, arr in zip(simple_idx, decoded):
+            out[i] = _transform_decoded(arr, metas[i])
+    for i, m in enumerate(metas):
+        if out[i] is None:
+            out[i] = _decode_value_column(blobs[i], m).to_numpy()
+    return out
+
+
 def _enc_schema(key_cols: list[str], value_cols: list[str], key_types) -> StructType:
     fields = [StructField(k, t) for k, t in zip(key_cols, key_types)]
     fields += [
@@ -240,16 +277,28 @@ def decode_series(
 
     def dec(it):
         for pdf in it:
-            for _, row in pdf.iterrows():
-                meta = json.loads(row["meta"])
-                ts = sz.decode_column(row["ts_blob"]).view(np.int64)
-                n = int(row["n"])
-                base = pd.DataFrame(
-                    {**{k: [row[k]] * n for k in key_cols}, ts_col: ts.astype("datetime64[us]")}
+            if not len(pdf):
+                continue
+            metas = [json.loads(m) for m in pdf["meta"]]
+            ns = pdf["n"].to_numpy(np.int64)
+            ts_arrays = sz.decode_batch(list(pdf["ts_blob"]))
+            ts_concat = (
+                np.concatenate([a.view(np.int64) for a in ts_arrays])
+                if ts_arrays
+                else np.zeros(0, np.int64)
+            )
+            base = pd.DataFrame(
+                {k: np.repeat(pdf[k].to_numpy(), ns) for k in key_cols}
+            )
+            base[ts_col] = ts_concat.astype("datetime64[us]")
+            for c in value_cols:
+                vals = decode_value_columns_batch(
+                    list(pdf[f"blob_{c}"]), [m[c] for m in metas]
                 )
-                for c in value_cols:
-                    base[c] = _decode_value_column(row[f"blob_{c}"], meta[c])
-                yield base
+                base[c] = np.concatenate(
+                    [np.asarray(v) for v in vals]
+                ) if vals else np.zeros(0)
+            yield base
 
     return enc.mapInPandas(dec, schema)
 

@@ -138,7 +138,13 @@ def fused_rollup_encode(
     n_parts: int | None = None,
     codec: str = "auto",
     chunk_rows: int = 1 << 16,
+    with_crc: bool = True,
 ) -> DataFrame:
+    """``with_crc`` stores a crc32 of each piece's raw values in the meta
+    so verify_encoded can prove decode(encode(x)) == x without the
+    original table."""
+    import zlib
+
     if codec not in ("auto", "fire"):
         raise ValueError(f"unknown codec {codec!r}: use 'auto' or 'fire'")
     spark = pages.sparkSession
@@ -197,6 +203,16 @@ def fused_rollup_encode(
                 {"ts": {"codec": "sprintz", "mode": "doubledelta"}}
                 for _ in range(n_pieces)
             ]
+            if with_crc:
+                for i in range(n_pieces):
+                    sl = slice(p_starts[i], p_starts[i] + p_lens[i])
+                    metas_all[i]["crc"] = {
+                        "ts": zlib.crc32(g_bucket[sl].tobytes()),
+                        "crawl_count": zlib.crc32(counts[sl].tobytes()),
+                        "byte_size_sum": zlib.crc32(sums[sl].tobytes()),
+                        "byte_size_max": zlib.crc32(maxs[sl].tobytes()),
+                        "byte_size_min": zlib.crc32(mins[sl].tobytes()),
+                    }
             for name, arr in (
                 ("crawl_count", counts),
                 ("byte_size_sum", sums),
@@ -224,6 +240,64 @@ def fused_rollup_encode(
         F.pmod(F.xxhash64("url"), F.lit(n_parts)).alias("part"),
     )
     return slim.groupBy("part").applyInPandas(udf, _SCHEMA)
+
+
+def verify_encoded(enc: DataFrame) -> DataFrame:
+    """Lossless-round-trip verification stage (the reference's
+    encode→decode→verify harness, python/dfsqueeze.py:133-231, as a narrow
+    Spark stage): decode every blob of every chunk and check it against
+    the crc32 of the raw values captured at encode time. Returns one row
+    per (tier, part) with chunk/row counts; raises inside the task on any
+    mismatch, failing the job loudly.
+
+    No shuffle: mapInPandas straight over the encoded rows.
+    """
+    import zlib
+
+    from sprintz_spark.codecs import sprintz as szc
+    from sprintz_spark.operators.encode import decode_value_columns_batch
+
+    schema = "tier string, part long, n_chunks long, n_rows long, n_cols_checked long"
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            metas = [json.loads(m) for m in pdf["meta"]]
+            ns = pdf["n"].to_numpy(np.int64)
+            checked = np.zeros(len(pdf), dtype=np.int64)
+            ts_arrays = szc.decode_batch(list(pdf["ts_blob"]))
+            for i, (arr, meta, n) in enumerate(zip(ts_arrays, metas, ns)):
+                assert len(arr) == n, "ts length mismatch"
+                crc = meta.get("crc", {}).get("ts")
+                if crc is not None:
+                    assert zlib.crc32(arr.view(np.int64).tobytes()) == crc, "ts crc mismatch"
+                    checked[i] += 1
+            for m in MEASURES:
+                vals = decode_value_columns_batch(
+                    list(pdf[f"blob_{m}"]), [mt[m] for mt in metas]
+                )
+                for i, (v, meta, n) in enumerate(zip(vals, metas, ns)):
+                    arr = np.asarray(v).astype(np.int64, copy=False)
+                    assert len(arr) == n, f"{m} length mismatch"
+                    crc = meta.get("crc", {}).get(m)
+                    if crc is not None:
+                        assert zlib.crc32(arr.tobytes()) == crc, f"{m} crc mismatch"
+                        checked[i] += 1
+            stats = pd.DataFrame(
+                {
+                    "tier": pdf["tier"].to_numpy(),
+                    "part": pdf["part"].to_numpy(),
+                    "n": ns,
+                    "checked": checked,
+                }
+            )
+            g = stats.groupby(["tier", "part"], sort=False).agg(
+                n_chunks=("n", "size"), n_rows=("n", "sum"), n_cols_checked=("checked", "sum")
+            ).reset_index()
+            yield g[["tier", "part", "n_chunks", "n_rows", "n_cols_checked"]]
+
+    return enc.mapInPandas(gen, schema)
 
 
 def decode_fused_tier(enc: DataFrame, tier: str) -> DataFrame:

@@ -47,3 +47,32 @@ def test_batch_speed_on_tiny_series():
     assert batch_t < 1.0, f"2000 tiny series took {batch_t:.2f}s in batch mode"
     for a, b in zip(arrays[:50], blobs[:50]):
         np.testing.assert_array_equal(sz.decode_column(b).view(np.int64), a)
+
+
+def test_decode_batch_matches_decode_column():
+    import time
+
+    mixed = []
+    for n in [0, 1, 7, 8, 40, 333, 4096]:
+        walk = np.cumsum(rng.integers(-5, 6, n)).astype(np.int64)
+        mixed.append(sz.encode_column(walk, "delta"))
+        mixed.append(sz.encode_column(walk, "doubledelta"))
+        mixed.append(sz.encode_column((walk & 0xFFFF).astype(np.uint16), "fire"))
+        mixed.append(sz.encode_column((walk & 0xFF).astype(np.uint8), "raw"))
+        mixed.append(sz.encode_column((walk & 0xFFFF).astype(np.uint16), "dyndelta"))
+    outs = sz.decode_batch(mixed)
+    for buf, got in zip(mixed, outs):
+        np.testing.assert_array_equal(got, sz.decode_column(buf))
+
+
+def test_decode_batch_speed():
+    import time
+
+    arrays = [np.cumsum(rng.integers(-3, 4, 40)).astype(np.int64) for _ in range(2000)]
+    blobs = sz.encode_batch(arrays, None)
+    t0 = time.perf_counter()
+    outs = sz.decode_batch(blobs)
+    t = time.perf_counter() - t0
+    assert t < 0.5, f"decode_batch of 2000 tiny blobs took {t:.2f}s"
+    for a, o in zip(arrays, outs):
+        np.testing.assert_array_equal(o.view(np.int64), a)

@@ -1,0 +1,65 @@
+import numpy as np
+import pytest
+
+from sprintz_spark.codecs import extras as X
+
+rng = np.random.default_rng(11)
+
+
+@pytest.mark.parametrize("dtype", [np.uint16, np.int32, np.int64, np.float64])
+def test_byteshuffle_roundtrip(dtype):
+    x = rng.integers(-1000, 1000, 333).astype(dtype)
+    sh = X.byteshuffle_encode(x)
+    back = X.byteshuffle_decode(sh, dtype, len(x))
+    np.testing.assert_array_equal(back.view(np.uint8), x.view(np.uint8))
+
+
+def test_byteshuffle_groups_bytes():
+    # smooth 16-bit data: high bytes nearly constant -> shuffled second
+    # half is low-entropy (that's the point of the transform)
+    x = (5000 + np.arange(256)).astype(np.uint16)
+    sh = X.byteshuffle_encode(x)
+    assert len(set(sh[256:].tolist())) <= 2  # high bytes almost constant
+
+
+def test_colsum_predictor_roundtrip():
+    a = rng.integers(0, 1000, 100).astype(np.int64)
+    b = rng.integers(0, 1000, 100).astype(np.int64)
+    total = a + b + rng.integers(-3, 4, 100)
+    resid = X.colsum_residual(total, [a, b])
+    assert np.abs(resid).max() <= 3
+    np.testing.assert_array_equal(X.colsum_restore(resid, [a, b]), total)
+
+
+def test_bytestream_codecs():
+    x = np.repeat(np.arange(100), 50).astype(np.int64)
+    for enc, dec in [(X.bzip2_encode, X.bzip2_decode), (X.lzma_encode, X.lzma_decode)]:
+        buf = enc(x)
+        assert len(buf) < x.nbytes / 4
+        np.testing.assert_array_equal(dec(buf, np.int64), x)
+
+
+def test_debug_and_lambda():
+    x = np.arange(10)
+    np.testing.assert_array_equal(
+        X.debug_reverse_decode(X.debug_reverse_encode(x)), x
+    )
+    enc, dec = X.make_lambda_codec(lambda v: v + 1, lambda v: v - 1)
+    np.testing.assert_array_equal(dec(enc(x)), x)
+
+
+def test_losses_and_nbits_cost():
+    r = np.array([0, 1, -1, 7, -8], dtype=np.int64)
+    assert X.compute_loss(r, "l1") == 17
+    assert X.compute_loss(r, "linf") == 8
+    assert X.compute_loss(r, "l2") == 1 + 1 + 49 + 64
+    np.testing.assert_array_equal(X.nbits_cost(r), [0, 2, 1, 4, 4])
+    u = np.array([0, 1, 255, 256], dtype=np.uint64)
+    np.testing.assert_array_equal(X.nbits_cost(u), [0, 1, 8, 9])
+
+
+def test_sprintz_packed_size_model():
+    zeros = np.zeros(64, dtype=np.int8)
+    assert X.sprintz_packed_size(zeros) == 8 * 8  # 8 windows x 1 byte
+    small = np.full(8, 3, dtype=np.int8)  # needs 3 bits (signed-ish model)
+    assert X.sprintz_packed_size(small) > 8 * 2
