@@ -69,7 +69,7 @@ def run_pipeline(spark, n_rows: int) -> dict:
         )
         wall = time.perf_counter() - t0
         ratios = RT.tier_ratio_report(spark, os.path.join(tmp, "ret"), "bench")
-        return {
+        out = {
             "pipeline_rows": n_input,
             "pipeline_secs": round(wall, 3),
             "pipeline_rows_per_sec": round(n_input / wall, 1),
@@ -81,6 +81,23 @@ def run_pipeline(spark, n_rows: int) -> dict:
                 for t, v in sorted(ratios.items())
             },
         }
+        # fused single-shuffle job (high-throughput path), with the
+        # lossless-verify stage included in a second timing
+        from sprintz_spark.plans.jobs import fused_rollup_encode, verify_encoded
+
+        t0 = time.perf_counter()
+        fused_rollup_encode(pages, codec="fire").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        fw = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        verify_encoded(fused_rollup_encode(pages, codec="fire")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        vw = time.perf_counter() - t0
+        out["fused_fire_rows_per_sec"] = round(n_input / fw, 1)
+        out["fused_encode_verify_rows_per_sec"] = round(n_input / vw, 1)
+        return out
 
 
 def main() -> None:
