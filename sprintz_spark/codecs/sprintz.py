@@ -28,10 +28,29 @@ import numpy as np
 from sprintz_spark.codecs import bitpack, delta, fire, rle, zigzag
 
 MAGIC = b"SZ1"
+MAGIC2 = 0x5A  # b'Z': compact head for small chunks (n < 65536, no extra)
 BLOCK = bitpack.BLOCK
 
 MODES = {"delta": 0, "doubledelta": 1, "dyndelta": 2, "fire": 3, "raw": 4}
 _MODE_NAMES = {v: k for k, v in MODES.items()}
+_W_CODE = {8: 0, 16: 1, 32: 2, 64: 3}
+_W_FROM_CODE = {v: k for k, v in _W_CODE.items()}
+
+
+def _head2(mode: str, w: int, n: int, pad: int) -> bytes:
+    """4-byte compact head: 'Z' | mode(3b)|w_code(2b)|pad(3b) | n u16.
+    Tiny series pay 12+ bytes of head in the v1 format — for 1-3-point
+    daily-tier chunks that overhead alone exceeded the raw data."""
+    packed = (MODES[mode] << 5) | (_W_CODE[w] << 3) | pad
+    return bytes([MAGIC2, packed]) + int(n).to_bytes(2, "little")
+
+
+def _headers_compact(nbits: np.ndarray) -> bytes:
+    """rle.encode_headers with a 1-byte run count (nruns < 256)."""
+    full = rle.encode_headers(nbits)
+    nruns = int.from_bytes(full[:4], "little")
+    assert nruns < 256
+    return bytes([nruns]) + full[4:]
 
 _UNSIGNED = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
 _SIGNED = {8: np.int8, 16: np.int16, 32: np.int32, 64: np.int64}
@@ -80,8 +99,9 @@ def encode_column(x: np.ndarray, mode: str = "delta") -> bytes:
     else:
         raise ValueError(f"unknown mode {mode}")
     nbits = bitpack.block_nbits(z, BLOCK)
-    headers = rle.encode_headers(nbits)
     payload = bitpack.pack_blocks(z, nbits, BLOCK)
+    if not extra and n < 65536 and len(nbits) <= 255:
+        return _head2(mode, w, n, pad) + _headers_compact(nbits) + payload
     head = (
         MAGIC
         + bytes([MODES[mode], w])
@@ -90,10 +110,29 @@ def encode_column(x: np.ndarray, mode: str = "delta") -> bytes:
         + np.uint16(len(extra)).tobytes()
         + extra
     )
-    return head + headers + payload
+    return head + rle.encode_headers(nbits) + payload
+
+
+def blob_mode(buf: bytes) -> str:
+    """Codec mode of a blob (works for both head formats)."""
+    if buf[:1] == b"Z":
+        return _MODE_NAMES[buf[1] >> 5]
+    return _MODE_NAMES[buf[3]]
 
 
 def _parse(buf: bytes):
+    if buf[:1] == b"Z":  # compact head
+        packed = buf[1]
+        mode = _MODE_NAMES[packed >> 5]
+        w = _W_FROM_CODE[(packed >> 3) & 0x3]
+        pad = packed & 0x7
+        n = int.from_bytes(buf[2:4], "little")
+        nruns = buf[4]
+        nbits, used = rle.decode_headers(
+            nruns.to_bytes(4, "little") + buf[5:]
+        )
+        payload = buf[5 + used - 4 :]
+        return mode, w, n, pad, b"", nbits, payload
     assert buf[:3] == MAGIC, "bad magic"
     mode = _MODE_NAMES[buf[3]]
     w = buf[4]
@@ -283,15 +322,23 @@ def encode_batch_concat_fire(values: np.ndarray, lengths: np.ndarray) -> list[by
     head_mid = bytes([MODES["fire"], w])
     out = []
     for i in range(len(ns)):
-        headers = rle.encode_headers(nb[blk_starts[i] : blk_hi[i]])
-        head = (
-            MAGIC
-            + head_mid
-            + int(ns[i]).to_bytes(4, "little")
-            + bytes([pads[i]])
-            + b"\x00\x00"
-        )
-        out.append(head + headers + bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]]))
+        nbi = nb[blk_starts[i] : blk_hi[i]]
+        body = bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]])
+        if ns[i] < 65536 and len(nbi) <= 255:
+            out.append(
+                _head2("fire", w, int(ns[i]), int(pads[i]))
+                + _headers_compact(nbi)
+                + body
+            )
+        else:
+            head = (
+                MAGIC
+                + head_mid
+                + int(ns[i]).to_bytes(4, "little")
+                + bytes([pads[i]])
+                + b"\x00\x00"
+            )
+            out.append(head + rle.encode_headers(nbi) + body)
     return out
 
 
@@ -343,17 +390,23 @@ def _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode):
     mode_bytes = [bytes([MODES["delta"]]), bytes([MODES["doubledelta"]])]
     wb = bytes([w])
     zero16 = b"\x00\x00"
+    mode_names = ["delta", "doubledelta"]
     for i in range(n_series):
-        headers = rle.encode_headers(nb[blk_starts[i] : blk_hi[i]])
-        head = (
-            MAGIC
-            + mode_bytes[int(choose2[i])]
-            + wb
-            + int(ns[i]).to_bytes(4, "little")
-            + bytes([pads[i]])
-            + zero16
-        )
-        out.append(head + headers + bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]]))
+        nbi = nb[blk_starts[i] : blk_hi[i]]
+        body = bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]])
+        if ns[i] < 65536 and len(nbi) <= 255:
+            head = _head2(mode_names[int(choose2[i])], w, int(ns[i]), int(pads[i]))
+            out.append(head + _headers_compact(nbi) + body)
+        else:
+            head = (
+                MAGIC
+                + mode_bytes[int(choose2[i])]
+                + wb
+                + int(ns[i]).to_bytes(4, "little")
+                + bytes([pads[i]])
+                + zero16
+            )
+            out.append(head + rle.encode_headers(nbi) + body)
     return out
 
 

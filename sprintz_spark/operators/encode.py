@@ -218,7 +218,7 @@ def encode_series(
                 blobs = sz.encode_batch_concat(s.to_numpy(), piece_lens, None)
                 dt = str(s.dtype)
                 metas_c = [
-                    {"codec": "sprintz", "mode": sz._MODE_NAMES[b[3]], "np_dtype": dt}
+                    {"codec": "sprintz", "mode": sz.blob_mode(b), "np_dtype": dt}
                     for b in blobs
                 ]
                 raws = raws + s.dtype.itemsize * piece_lens

@@ -77,7 +77,7 @@ def _encode_measure(vals, piece_starts, piece_lens, codec):
     if codec != "fire":
         blobs = sz.encode_batch_concat(vals, piece_lens, None)
         metas = [
-            {"codec": "sprintz", "mode": sz._MODE_NAMES[b[3]], "np_dtype": "int64"}
+            {"codec": "sprintz", "mode": sz.blob_mode(b), "np_dtype": "int64"}
             for b in blobs
         ]
         return blobs, metas
@@ -104,7 +104,7 @@ def _encode_measure(vals, piece_starts, piece_lens, codec):
                 blobs[i] = bl[j]
                 metas[i] = {
                     "codec": "sprintz",
-                    "mode": sz._MODE_NAMES[bl[j][3]],
+                    "mode": sz.blob_mode(bl[j]),
                     "np_dtype": "int64",
                 }
         else:

@@ -32,7 +32,7 @@ def test_batch_auto_picks_doubledelta_for_ramps():
     ramp = (np.arange(640) * 997).astype(np.int64)
     const = np.full(640, 3, np.int64)
     blobs = sz.encode_batch([ramp, const], None)
-    assert sz._MODE_NAMES[blobs[0][3]] == "doubledelta"
+    assert sz.blob_mode(blobs[0]) == "doubledelta"
     for a, b in zip([ramp, const], blobs):
         np.testing.assert_array_equal(sz.decode_column(b).view(np.int64), a)
 
