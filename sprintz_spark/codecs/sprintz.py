@@ -29,6 +29,7 @@ from sprintz_spark.codecs import bitpack, delta, fire, rle, zigzag
 
 MAGIC = b"SZ1"
 MAGIC2 = 0x5A  # b'Z': compact head for small chunks (n < 65536, no extra)
+MAGIC3 = 0x59  # b'Y': compact head + out-of-band first value(s)
 BLOCK = bitpack.BLOCK
 
 MODES = {"delta": 0, "doubledelta": 1, "dyndelta": 2, "fire": 3, "raw": 4}
@@ -51,6 +52,83 @@ def _headers_compact(nbits: np.ndarray) -> bytes:
     nruns = int.from_bytes(full[:4], "little")
     assert nruns < 256
     return bytes([nruns]) + full[4:]
+
+
+# --- v2 'Y' format: first value(s) out-of-band -----------------------------
+#
+# A series' first residual under delta is the raw start value (and under
+# double-delta the second residual embeds the first gap). For epoch-µs
+# timestamps that is ~52 bits, blowing the first 8-sample block up to
+# ~52 bytes even for a 2-point series. 'Y' stores x0 (and d1 for
+# doubledelta) as zigzag-varints in the head, zeroes those residual slots,
+# and strips trailing zero payload bytes (decode zero-extends). A regular
+# daily series of ANY length then packs to ~20 bytes: head(4) + varints +
+# all-zero-block headers(3) + empty payload.
+#
+#   'Y' | mode(3b)|w_code(2b)|pad(3b) | (n-1) u16 | uvarint zz(x0)
+#   [| uvarint zz(d1) if doubledelta] | uvarint nruns | run vals u8[] |
+#   run lens varint[] | payload (trailing zeros stripped)
+
+
+def _uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_uvarint(buf, pos: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return v, pos
+        shift += 7
+
+
+def _zz_scalar(u_val: int, w: int) -> int:
+    """Zigzag of a stored w-bit value (interpreted as signed), python ints."""
+    mask = (1 << w) - 1
+    s = u_val & mask
+    if s >> (w - 1):
+        s -= 1 << w
+    return ((s << 1) ^ (s >> (w - 1))) & mask
+
+
+def _unzz_scalar(zz: int, w: int) -> int:
+    """Inverse of _zz_scalar; returns the unsigned w-bit bit pattern."""
+    return ((zz >> 1) ^ -(zz & 1)) & ((1 << w) - 1)
+
+
+def _head3(mode: str, w: int, n: int, pad: int, x0: int, d1: int | None) -> bytes:
+    packed = (MODES[mode] << 5) | (_W_CODE[w] << 3) | pad
+    out = bytes([MAGIC3, packed]) + (int(n) - 1).to_bytes(2, "little")
+    out += _uvarint(_zz_scalar(int(x0), w))
+    if d1 is not None:
+        out += _uvarint(_zz_scalar(int(d1), w))
+    return out
+
+
+def _headers_v(nbits: np.ndarray) -> bytes:
+    """rle.encode_headers with a varint run count (any nruns)."""
+    full = rle.encode_headers(nbits)
+    nruns = int.from_bytes(full[:4], "little")
+    return _uvarint(nruns) + full[4:]
+
+
+def _zero_extend(payload: bytes, nbits: np.ndarray) -> bytes:
+    """Undo trailing-zero truncation: block b holds exactly nbits[b] bytes."""
+    expected = int(nbits.astype(np.int64).sum())
+    if len(payload) < expected:
+        return bytes(payload) + b"\x00" * (expected - len(payload))
+    return payload
 
 _UNSIGNED = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
 _SIGNED = {8: np.int8, 16: np.int16, 32: np.int32, 64: np.int64}
@@ -84,22 +162,40 @@ def encode_column(x: np.ndarray, mode: str = "delta") -> bytes:
     n = len(u)
     padded, pad = _pad_repeat_last(u)
     extra = b""
+    firsts = None
     if mode == "delta":
         z = zigzag.encode(delta.delta_encode(padded))
+        if 1 <= n <= 65536:
+            firsts = (int(padded[0]), None)
+            z[0] = 0
     elif mode == "doubledelta":
         z = zigzag.encode(delta.double_delta_encode(padded))
+        z[n:] = 0  # pad slots are decode-discarded; repeat-last padding
+        # would otherwise put a -d1 spike in the last block
+        if 1 <= n <= 65536:
+            d1 = (int(padded[1]) - int(padded[0])) & ((1 << w) - 1)
+            firsts = (int(padded[0]), d1)
+            z[0] = 0
+            z[1] = 0
     elif mode == "dyndelta":
         resid, mask = delta.dynamic_delta_encode(padded, BLOCK)
         z = zigzag.encode(resid)
         extra = mask.tobytes()
     elif mode == "fire":
         z = fire.fire_encode(padded, w)
+        z[n:] = 0  # pad-slot prediction errors are decode-discarded
     elif mode == "raw":
         z = padded
     else:
         raise ValueError(f"unknown mode {mode}")
     nbits = bitpack.block_nbits(z, BLOCK)
-    payload = bitpack.pack_blocks(z, nbits, BLOCK)
+    payload = bitpack.pack_blocks(z, nbits, BLOCK).rstrip(b"\x00")
+    if firsts is not None:
+        return (
+            _head3(mode, w, n, pad, firsts[0], firsts[1])
+            + _headers_v(nbits)
+            + payload
+        )
     if not extra and n < 65536 and len(nbits) <= 255:
         return _head2(mode, w, n, pad) + _headers_compact(nbits) + payload
     head = (
@@ -114,14 +210,38 @@ def encode_column(x: np.ndarray, mode: str = "delta") -> bytes:
 
 
 def blob_mode(buf: bytes) -> str:
-    """Codec mode of a blob (works for both head formats)."""
-    if buf[:1] == b"Z":
+    """Codec mode of a blob (works for all head formats)."""
+    if buf[0] in (MAGIC2, MAGIC3):
         return _MODE_NAMES[buf[1] >> 5]
     return _MODE_NAMES[buf[3]]
 
 
 def _parse(buf: bytes):
-    if buf[:1] == b"Z":  # compact head
+    """Returns (mode, w, n, pad, extra, nbits, payload, firsts).
+
+    ``firsts`` is None for in-stream-start formats ('Z'/SZ1) or
+    ``(x0, d1_or_None)`` unsigned bit patterns for the 'Y' format.
+    ``payload`` may be trailing-zero truncated (see _zero_extend).
+    """
+    if buf[0] == MAGIC3:  # 'Y': compact head + out-of-band firsts
+        packed = buf[1]
+        mode = _MODE_NAMES[packed >> 5]
+        w = _W_FROM_CODE[(packed >> 3) & 0x3]
+        pad = packed & 0x7
+        n = int.from_bytes(buf[2:4], "little") + 1
+        pos = 4
+        zz0, pos = _read_uvarint(buf, pos)
+        d1 = None
+        if mode == "doubledelta":
+            zz1, pos = _read_uvarint(buf, pos)
+            d1 = _unzz_scalar(zz1, w)
+        nruns, pos = _read_uvarint(buf, pos)
+        nbits, used = rle.decode_headers(
+            nruns.to_bytes(4, "little") + buf[pos:]
+        )
+        payload = buf[pos + used - 4 :]
+        return mode, w, n, pad, b"", nbits, payload, (_unzz_scalar(zz0, w), d1)
+    if buf[0] == MAGIC2:  # 'Z': compact head
         packed = buf[1]
         mode = _MODE_NAMES[packed >> 5]
         w = _W_FROM_CODE[(packed >> 3) & 0x3]
@@ -132,7 +252,7 @@ def _parse(buf: bytes):
             nruns.to_bytes(4, "little") + buf[5:]
         )
         payload = buf[5 + used - 4 :]
-        return mode, w, n, pad, b"", nbits, payload
+        return mode, w, n, pad, b"", nbits, payload, None
     assert buf[:3] == MAGIC, "bad magic"
     mode = _MODE_NAMES[buf[3]]
     w = buf[4]
@@ -143,7 +263,7 @@ def _parse(buf: bytes):
     rest = buf[12 + extra_len :]
     nbits, used = rle.decode_headers(rest)
     payload = rest[used:]
-    return mode, w, n, pad, extra, nbits, payload
+    return mode, w, n, pad, extra, nbits, payload, None
 
 
 def decode_column(buf: bytes) -> np.ndarray:
@@ -151,8 +271,20 @@ def decode_column(buf: bytes) -> np.ndarray:
 
     Callers that encoded signed data should .view() the signed dtype.
     """
-    mode, w, n, pad, extra, nbits, payload = _parse(buf)
+    mode, w, n, pad, extra, nbits, payload, firsts = _parse(buf)
+    payload = _zero_extend(payload, nbits)
     z = bitpack.unpack_blocks(payload, nbits, _UNSIGNED[w], BLOCK)
+    su = _UNSIGNED[w]
+    if firsts is not None:
+        zd = zigzag.decode(z).view(su)
+        zd[0] = su(firsts[0])
+        if mode == "doubledelta":
+            zd[1] = su((firsts[1] - firsts[0]) & ((1 << w) - 1))
+        if mode == "delta":
+            out = delta.delta_decode(zd.view(_SIGNED[w])).view(su)
+        else:
+            out = delta.double_delta_decode(zd.view(_SIGNED[w])).view(su)
+        return out[:n]
     if mode == "delta":
         out = delta.delta_decode(zigzag.decode(z)).view(_UNSIGNED[w])
     elif mode == "doubledelta":
@@ -191,13 +323,16 @@ def decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
     out: list = [None] * len(blobs)
     groups: dict = {}
     for i, buf in enumerate(blobs):
-        mode, w, n, pad, extra, nbits, payload = _parse(buf)
+        mode, w, n, pad, extra, nbits, payload, firsts = _parse(buf)
         if mode == "dyndelta":  # per-blob (choice-mask state); rare path
             out[i] = decode_column(buf)
             continue
-        groups.setdefault((mode, w), []).append((i, n, pad, nbits, payload))
+        groups.setdefault((mode, w), []).append(
+            (i, n, pad, nbits, _zero_extend(payload, nbits), firsts)
+        )
     for (mode, w), items in groups.items():
         su = _UNSIGNED[w]
+        mask = (1 << w) - 1
         nbits_concat = np.concatenate([it[3] for it in items]) if items else np.zeros(0, np.uint8)
         payload_concat = b"".join(it[4] for it in items)
         plens = np.array([it[1] + it[2] for it in items], dtype=np.int64)
@@ -212,10 +347,16 @@ def decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
             x = fire.fire_decode_multi(z, dst_starts, plens, w)
         else:
             d = zigzag.decode(z).view(su)
+            # scatter out-of-band firsts ('Y' blobs) into the residual stream
+            for (i, n, _pad, _nb, _pl, firsts), lo in zip(items, starts):
+                if firsts is not None and n:
+                    d[lo] = su(firsts[0])
+                    if mode == "doubledelta":
+                        d[lo + 1] = su((firsts[1] - firsts[0]) & mask)
             x = _segmented_cumsum(d, s_idx, plens[nonempty]) if len(d) else d
             if mode == "doubledelta":
                 x = _segmented_cumsum(x, s_idx, plens[nonempty])
-        for (i, n, _pad, _nb, _pl), lo, hi in zip(items, dst_starts[:-1], dst_starts[1:]):
+        for (i, n, _pad, _nb, _pl, _f), lo, hi in zip(items, dst_starts[:-1], dst_starts[1:]):
             out[i] = x[lo : lo + n]
     return out
 
@@ -239,6 +380,17 @@ def choose_mode(x: np.ndarray, candidates=("delta", "doubledelta", "fire")) -> s
 
 def _cumsum0(a: np.ndarray) -> np.ndarray:
     return np.concatenate([[0], np.cumsum(a)])
+
+
+def _pad_positions(ns: np.ndarray, pads: np.ndarray, dst_starts: np.ndarray) -> np.ndarray:
+    """Indices of pad slots in the block-padded concat array."""
+    sel = pads > 0
+    p = pads[sel]
+    if not len(p):
+        return np.zeros(0, np.int64)
+    base = dst_starts[:-1][sel] + ns[sel]
+    intra = np.arange(int(p.sum()), dtype=np.int64) - np.repeat(_cumsum0(p)[:-1], p)
+    return np.repeat(base, p) + intra
 
 
 def _pad_concat(values: np.ndarray, ns: np.ndarray, su) -> tuple:
@@ -313,6 +465,8 @@ def encode_batch_concat_fire(values: np.ndarray, lengths: np.ndarray) -> list[by
             lo, hi = dst_starts[i], dst_starts[i + 1]
             if hi > lo:
                 z[lo:hi] = fire.fire_encode(u[lo:hi], w)
+    if len(u):
+        z[_pad_positions(ns, pads, dst_starts)] = 0  # match encode_column
     nb = bitpack.block_nbits(z, BLOCK) if len(u) else np.zeros(0, np.uint8)
     payload = bitpack.pack_blocks(z, nb, BLOCK) if len(u) else b""
     byte_off = _cumsum0(nb.astype(np.int64))
@@ -323,7 +477,7 @@ def encode_batch_concat_fire(values: np.ndarray, lengths: np.ndarray) -> list[by
     out = []
     for i in range(len(ns)):
         nbi = nb[blk_starts[i] : blk_hi[i]]
-        body = bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]])
+        body = bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]]).rstrip(b"\x00")
         if ns[i] < 65536 and len(nbi) <= 255:
             out.append(
                 _head2("fire", w, int(ns[i]), int(pads[i]))
@@ -359,8 +513,22 @@ def _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode):
         d2[s_idx] = u[s_idx]
         s1 = s_idx[plens[nonempty] > 1] + 1
         d2[s1] = d1[s1] - d1[s1 - 1]
+    # out-of-band firsts ('Y' format): remember per-series x0 and first gap,
+    # then zero those residual slots so the first block packs small
+    elig = (ns >= 1) & (ns <= 65536)
+    x0s = np.zeros(len(ns), dtype=su)
+    gaps = np.zeros(len(ns), dtype=su)
+    if len(u):
+        x0s[nonempty] = u[s_idx]
+        gaps[nonempty] = u[s_idx + 1] - u[s_idx]  # plens>=BLOCK when nonempty
     z1 = zigzag.encode(d1.view(_SIGNED[w]))
     z2 = zigzag.encode(d2.view(_SIGNED[w]))
+    if len(u):
+        e_idx = starts[elig & nonempty]
+        z1[e_idx] = 0
+        z2[e_idx] = 0
+        z2[e_idx + 1] = 0
+        z2[_pad_positions(ns, pads, dst_starts)] = 0  # match encode_column
     nb1 = bitpack.block_nbits(z1, BLOCK) if len(u) else np.zeros(0, np.uint8)
     nb2 = bitpack.block_nbits(z2, BLOCK) if len(u) else np.zeros(0, np.uint8)
     blk_starts = (starts // BLOCK).astype(np.int64)
@@ -393,8 +561,15 @@ def _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode):
     mode_names = ["delta", "doubledelta"]
     for i in range(n_series):
         nbi = nb[blk_starts[i] : blk_hi[i]]
-        body = bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]])
-        if ns[i] < 65536 and len(nbi) <= 255:
+        body = bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]]).rstrip(b"\x00")
+        if elig[i]:
+            m = mode_names[int(choose2[i])]
+            head = _head3(
+                m, w, int(ns[i]), int(pads[i]),
+                int(x0s[i]), int(gaps[i]) if m == "doubledelta" else None,
+            )
+            out.append(head + _headers_v(nbi) + body)
+        elif ns[i] < 65536 and len(nbi) <= 255:  # n==0: match encode_column
             head = _head2(mode_names[int(choose2[i])], w, int(ns[i]), int(pads[i]))
             out.append(head + _headers_compact(nbi) + body)
         else:
@@ -445,7 +620,7 @@ def query_compressed(buf: bytes, op: str) -> np.ndarray | int:
     Values are interpreted as unsigned (the engine's counters/sizes are
     non-negative).
     """
-    mode, w, n, pad, extra, nbits, payload = _parse(buf)
+    mode, w, n, pad, extra, nbits, payload, _firsts = _parse(buf)
     if op == "count":
         return n
     vals = decode_column(buf).astype(np.int64)
@@ -460,7 +635,7 @@ def query_compressed(buf: bytes, op: str) -> np.ndarray | int:
 
 def compressed_size_report(buf: bytes) -> dict:
     """Size accounting per section (for compression-ratio metrics)."""
-    mode, w, n, pad, extra, nbits, payload = _parse(buf)
+    mode, w, n, pad, extra, nbits, payload, _firsts = _parse(buf)
     raw_bytes = n * (w // 8)
     return {
         "mode": mode,

@@ -42,6 +42,10 @@ def _manifest_path(out_dir: str) -> str:
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = _manifest_path(out_dir)
+    # cheap existence probe first: spark.read.parquet on a missing path logs
+    # a JVM-side stack trace before we can catch the AnalysisException
+    if "://" not in path and not os.path.exists(path):
+        return None
     try:
         return spark.read.parquet(path)
     except Exception:
