@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "sprintz_roundtrip",
     "query_on_compressed",
     "gorilla_roundtrip",
+    "quantize_roundtrip",
+    "codec_search_stats",
+    "text_extract_verified",
     "pricing_summary",
     "dedup_wordset",
     "token_stats",

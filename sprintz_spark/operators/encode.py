@@ -50,8 +50,14 @@ from sprintz_spark.codecs import sprintz as sz
 DEFAULT_CHUNK = 1 << 16
 
 
-def _encode_value_column(s: pd.Series) -> tuple[bytes, dict]:
-    """quantize → mode search → SZ1; fallback to gorilla for floats."""
+def _encode_value_column(s: pd.Series, force: str | None = None) -> tuple[bytes, dict]:
+    """quantize → mode search → SZ1; fallback to gorilla for floats.
+
+    ``force``: 'gorilla' bypasses the quantizer (Gorilla XOR float codec),
+    'quantize' requires the decimal quantizer to succeed (raises otherwise).
+    """
+    if force == "gorilla":
+        return gorilla.encode(s.to_numpy(np.float64)), {"codec": "gorilla"}
     kind = s.dtype.kind
     if kind in "iu" and not s.isna().any():
         vals = s.to_numpy()
@@ -66,6 +72,8 @@ def _encode_value_column(s: pd.Series) -> tuple[bytes, dict]:
             u, qp = Q.quantize(s)
             arr = u
         except (ValueError, TypeError):
+            if force == "quantize":
+                raise
             buf = gorilla.encode(s.to_numpy(np.float64))
             return buf, {"codec": "gorilla"}
     candidates = ("delta", "doubledelta", "fire", "raw") if arr.dtype.itemsize <= 2 else (
@@ -151,6 +159,7 @@ def encode_series(
     chunk_rows: int = DEFAULT_CHUNK,
     part_col: str | None = None,
     n_parts: int | None = None,
+    codecs: dict | None = None,
 ) -> DataFrame:
     """One output row per (series, chunk).
 
@@ -214,7 +223,8 @@ def encode_series(
         col_blobs: dict[str, list] = {}
         for c in value_cols:
             s = pdf[c]
-            if s.dtype.kind in "iu":
+            force = (codecs or {}).get(c)
+            if force is None and s.dtype.kind in "iu":
                 blobs = sz.encode_batch_concat(s.to_numpy(), piece_lens, None)
                 dt = str(s.dtype)
                 metas_c = [
@@ -225,7 +235,7 @@ def encode_series(
             else:
                 blobs, metas_c = [], []
                 for st, ln in zip(piece_starts, piece_lens):
-                    blob, m = _encode_value_column(s.iloc[st : st + ln])
+                    blob, m = _encode_value_column(s.iloc[st : st + ln], force)
                     blobs.append(blob)
                     metas_c.append(m)
                 raws = raws + 8 * piece_lens

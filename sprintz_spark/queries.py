@@ -245,14 +245,17 @@ FROM events GROUP BY user_id
 
 
 def q_gorilla_roundtrip(spark, sf_dir):
-    """Gorilla-XOR the raw double series per user, decode, aggregate —
-    bit-exact round trip makes the cents sums match raw SQL."""
+    """Gorilla-XOR the raw double series per user (codec forced — no
+    quantizer), decode, aggregate — bit-exact round trip makes the cents
+    sums match raw SQL."""
     from sprintz_spark.operators.encode import decode_series, encode_series
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").alias("bucket"), F.col("value")
     )
-    enc = encode_series(ev, key_cols=["user_id"], value_cols=["value"])
+    enc = encode_series(
+        ev, key_cols=["user_id"], value_cols=["value"], codecs={"value": "gorilla"}
+    )
     dec = decode_series(
         enc, key_cols=["user_id"], value_cols=["value"], value_types={"value": "double"}
     )
@@ -266,6 +269,85 @@ _GORILLA_SQL = f"""
 SELECT user_id, count(*) AS n_points, sum({_CENTS_SQL}) AS cents_sum
 FROM events GROUP BY user_id
 """
+
+
+def q_quantize_roundtrip(spark, sf_dir):
+    """Decimal quantizer (reference dfquantize2 semantics): float value ->
+    uint + QuantizeParams -> sprintz -> decode -> unquantize, lossless.
+    The decoded doubles reproduce the raw cents sums exactly."""
+    from sprintz_spark.operators.encode import decode_series, encode_series
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("bucket"), F.col("value")
+    )
+    enc = encode_series(
+        ev, key_cols=["user_id"], value_cols=["value"], codecs={"value": "quantize"}
+    )
+    dec = decode_series(
+        enc, key_cols=["user_id"], value_cols=["value"], value_types={"value": "double"}
+    )
+    return dec.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents_sum"),
+        F.sum((F.col("value") % F.lit(1.0) == F.lit(0.0)).cast("long")).alias("n_whole"),
+    )
+
+
+_QUANTIZE_SQL = f"""
+SELECT user_id, count(*) AS n_points, sum({_CENTS_SQL}) AS cents_sum,
+       sum(CASE WHEN value % 1.0 = 0.0 THEN 1 ELSE 0 END) AS n_whole
+FROM events GROUP BY user_id
+"""
+
+
+def q_codec_search_stats(spark, sf_dir):
+    """Cost-based per-chunk codec selection (reference CodecSearch,
+    python/codec.py:439-535) surfaced as data: which mode won per chunk.
+    Rows-only check (the chosen mode is engine-internal)."""
+    from sprintz_spark.operators.encode import encode_series
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("bucket"), _cents().alias("cents")
+    )
+    enc = encode_series(ev, key_cols=["user_id"], value_cols=["cents"])
+    return (
+        enc.select(
+            F.get_json_object("meta", "$.cents.mode").alias("mode"),
+            F.col("raw_bytes"),
+            F.col("comp_bytes"),
+        )
+        .groupBy("mode")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("comp_bytes").alias("comp_bytes"),
+        )
+    )
+
+
+def q_text_extract_verified(spark, sf_dir):
+    """North-star per-row invariant: byte-identical extracted text per url.
+    Generates the deterministic Common-Crawl-style pages table, runs the
+    frozen extractor over the html column, and counts exact matches vs the
+    stored text column per language. Rows-only check (pages are
+    generator-derived, not an sf_dir table)."""
+    from sprintz_spark.operators.text_ops import extract_text_df
+    from sprintz_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 2000)
+    ext = extract_text_df(pages)
+    return (
+        ext.select(
+            "lang",
+            (F.col("extracted_text") == F.col("text")).cast("long").alias("ok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("ok").alias("n_byte_identical"),
+        )
+        .orderBy("lang")
+    )
 
 
 # --- TPC-H-style relational aggregate (decimal-exact) ---------------------
@@ -520,6 +602,9 @@ def queries() -> dict:
         "sprintz_roundtrip": q_sprintz_roundtrip,
         "query_on_compressed": q_query_on_compressed,
         "gorilla_roundtrip": q_gorilla_roundtrip,
+        "quantize_roundtrip": q_quantize_roundtrip,
+        "codec_search_stats": q_codec_search_stats,
+        "text_extract_verified": q_text_extract_verified,
         "pricing_summary": q_pricing_summary,
         "dedup_wordset": q_dedup_wordset,
         "token_stats": q_token_stats,
@@ -547,6 +632,7 @@ def oracles() -> dict:
         "sprintz_roundtrip": _ROUNDTRIP_SQL,
         "query_on_compressed": _QOC_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,
+        "quantize_roundtrip": _QUANTIZE_SQL,
         "pricing_summary": _PRICING_SQL,
         "dedup_wordset": _DEDUP_WORDSET_SQL,
         "token_stats": _TOKEN_STATS_SQL,
@@ -555,5 +641,7 @@ def oracles() -> dict:
         "asof_join": _ASOF_SQL,
         # rows-only (no SQL equivalent): minhash_near_dup, simhash_buckets,
         # lang_quality, ngram_jaccard_verified, embedding_near_dup,
-        # ivf_topk (approximate), image_features (fake decoder)
+        # ivf_topk (approximate), image_features (fake decoder),
+        # codec_search_stats (chosen mode is engine-internal),
+        # text_extract_verified (pages are generator-derived)
     }
