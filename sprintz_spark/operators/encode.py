@@ -334,21 +334,21 @@ def query_encoded(
     blob_col = f"blob_{value_col}"
 
     def partials(it):
+        cols = [f.name for f in schema.fields]
         for pdf in it:
-            out = []
-            for _, row in pdf.iterrows():
-                meta = json.loads(row["meta"])[value_col]
-                s = _decode_value_column(row[blob_col], meta)
-                arr = s.to_numpy()
-                rec = {k: row[k] for k in key_cols}
-                rec.update(
-                    p_sum=int(arr.sum()),
-                    p_max=int(arr.max()),
-                    p_min=int(arr.min()),
-                    p_cnt=len(arr),
-                )
-                out.append(rec)
-            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+            if not len(pdf):
+                continue
+            metas = [json.loads(m)[value_col] for m in pdf["meta"]]
+            vals = decode_value_columns_batch(list(pdf[blob_col]), metas)
+            ns = np.fromiter((len(v) for v in vals), np.int64, len(vals))
+            flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in vals])
+            starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+            out = pd.DataFrame({k: pdf[k].to_numpy() for k in key_cols})
+            out["p_sum"] = np.add.reduceat(flat, starts)
+            out["p_max"] = np.maximum.reduceat(flat, starts)
+            out["p_min"] = np.minimum.reduceat(flat, starts)
+            out["p_cnt"] = ns
+            yield out[cols]
 
     part = enc.mapInPandas(partials, schema)
     return part.groupBy(*key_cols).agg(

@@ -300,6 +300,42 @@ FROM events GROUP BY user_id
 """
 
 
+def q_colsum_predictor(spark, sf_dir):
+    """Cross-column predictor (reference ColSumPredictor,
+    python/codec.py:538-591): store one column as its residual against a
+    predictor column (SURVEY §2.2 Spark mapping: plain column arithmetic),
+    sprintz-encode predictor+residual, decode, restore, aggregate — the
+    restored column reproduces raw SQL exactly."""
+    from sprintz_spark.operators.encode import decode_series, encode_series
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("minute", "ts").alias("bucket"), _cents().alias("cents"))
+        .groupBy("user_id", "bucket")
+        .agg(F.min("cents").alias("cents_min"), F.max("cents").alias("cents_max"))
+        .withColumn("resid", F.col("cents_max") - F.col("cents_min"))
+        .drop("cents_max")
+    )
+    enc = encode_series(ev, key_cols=["user_id"], value_cols=["cents_min", "resid"])
+    dec = decode_series(enc, key_cols=["user_id"], value_cols=["cents_min", "resid"])
+    restored = dec.withColumn("cents_max", F.col("cents_min") + F.col("resid"))
+    return restored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("cents_min").alias("min_sum"),
+        F.sum("cents_max").alias("max_sum"),
+    )
+
+
+_COLSUM_SQL = f"""
+SELECT user_id, count(*) AS n_buckets, sum(mn) AS min_sum, sum(mx) AS max_sum
+FROM (
+  SELECT user_id, date_trunc('minute', ts) AS bucket,
+         min({_CENTS_SQL}) AS mn, max({_CENTS_SQL}) AS mx
+  FROM events GROUP BY 1, 2
+) GROUP BY user_id
+"""
+
+
 def q_codec_search_stats(spark, sf_dir):
     """Cost-based per-chunk codec selection (reference CodecSearch,
     python/codec.py:439-535) surfaced as data: which mode won per chunk.
@@ -603,6 +639,7 @@ def queries() -> dict:
         "query_on_compressed": q_query_on_compressed,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "quantize_roundtrip": q_quantize_roundtrip,
+        "colsum_predictor": q_colsum_predictor,
         "codec_search_stats": q_codec_search_stats,
         "text_extract_verified": q_text_extract_verified,
         "pricing_summary": q_pricing_summary,
@@ -633,6 +670,7 @@ def oracles() -> dict:
         "query_on_compressed": _QOC_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,
         "quantize_roundtrip": _QUANTIZE_SQL,
+        "colsum_predictor": _COLSUM_SQL,
         "pricing_summary": _PRICING_SQL,
         "dedup_wordset": _DEDUP_WORDSET_SQL,
         "token_stats": _TOKEN_STATS_SQL,
