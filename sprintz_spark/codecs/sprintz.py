@@ -23,6 +23,8 @@ reference's C core — cpp/Compress/sprintz_delta_rle.cpp:58-61).
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
 from sprintz_spark.codecs import bitpack, delta, fire, rle, zigzag
@@ -30,7 +32,24 @@ from sprintz_spark.codecs import bitpack, delta, fire, rle, zigzag
 MAGIC = b"SZ1"
 MAGIC2 = 0x5A  # b'Z': compact head for small chunks (n < 65536, no extra)
 MAGIC3 = 0x59  # b'Y': compact head + out-of-band first value(s)
+MAGIC_DEFLATE = 0x57  # b'W': zlib-wrapped blob (cost-based post-pass)
 BLOCK = bitpack.BLOCK
+
+# Entropy-coding post-pass (the paper's Huffman stage, method.tex:300-303,
+# expressed with stdlib zlib): applied per blob when it actually shrinks
+# it. ~10µs/blob; disable for max-throughput encoding.
+DEFLATE_MIN = 64  # don't bother below this size
+
+
+def _maybe_deflate(blob: bytes, enable: bool = True) -> bytes:
+    if not enable or len(blob) < DEFLATE_MIN:
+        return blob
+    z = zlib.compress(blob, 6)
+    return bytes([MAGIC_DEFLATE]) + z if len(z) + 1 < len(blob) else blob
+
+
+def _inflate(buf: bytes) -> bytes:
+    return zlib.decompress(memoryview(buf)[1:]) if buf[0] == MAGIC_DEFLATE else buf
 
 MODES = {"delta": 0, "doubledelta": 1, "dyndelta": 2, "fire": 3, "raw": 4}
 _MODE_NAMES = {v: k for k, v in MODES.items()}
@@ -145,7 +164,7 @@ def _pad_repeat_last(u: np.ndarray) -> tuple[np.ndarray, int]:
     return np.concatenate([u, np.full(rem, fill, dtype=u.dtype)]), rem
 
 
-def encode_column(x: np.ndarray, mode: str = "delta") -> bytes:
+def encode_column(x: np.ndarray, mode: str = "delta", deflate: bool = True) -> bytes:
     """Encode an integer numpy array into the SZ1 format."""
     x = np.asarray(x)
     w = x.dtype.itemsize * 8
@@ -191,13 +210,16 @@ def encode_column(x: np.ndarray, mode: str = "delta") -> bytes:
     nbits = bitpack.block_nbits(z, BLOCK)
     payload = bitpack.pack_blocks(z, nbits, BLOCK).rstrip(b"\x00")
     if firsts is not None:
-        return (
+        return _maybe_deflate(
             _head3(mode, w, n, pad, firsts[0], firsts[1])
             + _headers_v(nbits)
-            + payload
+            + payload,
+            deflate,
         )
     if not extra and n < 65536 and len(nbits) <= 255:
-        return _head2(mode, w, n, pad) + _headers_compact(nbits) + payload
+        return _maybe_deflate(
+            _head2(mode, w, n, pad) + _headers_compact(nbits) + payload, deflate
+        )
     head = (
         MAGIC
         + bytes([MODES[mode], w])
@@ -206,11 +228,12 @@ def encode_column(x: np.ndarray, mode: str = "delta") -> bytes:
         + np.uint16(len(extra)).tobytes()
         + extra
     )
-    return head + rle.encode_headers(nbits) + payload
+    return _maybe_deflate(head + rle.encode_headers(nbits) + payload, deflate)
 
 
 def blob_mode(buf: bytes) -> str:
     """Codec mode of a blob (works for all head formats)."""
+    buf = _inflate(buf)
     if buf[0] in (MAGIC2, MAGIC3):
         return _MODE_NAMES[buf[1] >> 5]
     return _MODE_NAMES[buf[3]]
@@ -223,6 +246,7 @@ def _parse(buf: bytes):
     ``(x0, d1_or_None)`` unsigned bit patterns for the 'Y' format.
     ``payload`` may be trailing-zero truncated (see _zero_extend).
     """
+    buf = _inflate(buf)
     if buf[0] == MAGIC3:  # 'Y': compact head + out-of-band firsts
         packed = buf[1]
         mode = _MODE_NAMES[packed >> 5]
@@ -417,7 +441,7 @@ def _pad_concat(values: np.ndarray, ns: np.ndarray, su) -> tuple:
 
 
 def encode_batch_concat(
-    values: np.ndarray, lengths: np.ndarray, mode: str | None = None
+    values: np.ndarray, lengths: np.ndarray, mode: str | None = None, deflate: bool = True
 ) -> list[bytes]:
     """encode_batch over a single concatenated value array cut into
     segments of ``lengths`` — zero per-series array slicing. All padding,
@@ -430,18 +454,20 @@ def encode_batch_concat(
     su = _UNSIGNED[w]
     ns = np.asarray(lengths, dtype=np.int64)
     if mode == "fire":
-        return encode_batch_concat_fire(values, ns)
+        return encode_batch_concat_fire(values, ns, deflate)
     if mode in ("raw", "dyndelta"):
         starts = _cumsum0(ns)
         return [
-            encode_column(values[starts[i] : starts[i + 1]], mode)
+            encode_column(values[starts[i] : starts[i + 1]], mode, deflate)
             for i in range(len(ns))
         ]
     u, pads, plens, dst_starts = _pad_concat(values, ns, su)
-    return _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode)
+    return _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode, deflate)
 
 
-def encode_batch_concat_fire(values: np.ndarray, lengths: np.ndarray) -> list[bytes]:
+def encode_batch_concat_fire(
+    values: np.ndarray, lengths: np.ndarray, deflate: bool = True
+) -> list[bytes]:
     """Batched FIRE encoding: the forecaster itself is per-segment (its
     coefficient state is sequential by design — reference:
     sprintz_xff_rle.cpp:203-275), but padding, bitwidth computation,
@@ -479,11 +505,10 @@ def encode_batch_concat_fire(values: np.ndarray, lengths: np.ndarray) -> list[by
         nbi = nb[blk_starts[i] : blk_hi[i]]
         body = bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]]).rstrip(b"\x00")
         if ns[i] < 65536 and len(nbi) <= 255:
-            out.append(
+            out.append(_maybe_deflate(
                 _head2("fire", w, int(ns[i]), int(pads[i]))
                 + _headers_compact(nbi)
-                + body
-            )
+                + body, deflate))
         else:
             head = (
                 MAGIC
@@ -492,11 +517,11 @@ def encode_batch_concat_fire(values: np.ndarray, lengths: np.ndarray) -> list[by
                 + bytes([pads[i]])
                 + b"\x00\x00"
             )
-            out.append(head + rle.encode_headers(nbi) + body)
+            out.append(_maybe_deflate(head + rle.encode_headers(nbi) + body, deflate))
     return out
 
 
-def _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode):
+def _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode, deflate=True):
     su = _UNSIGNED[w]
     starts = dst_starts[:-1]
     nonempty = plens > 0
@@ -568,10 +593,10 @@ def _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode):
                 m, w, int(ns[i]), int(pads[i]),
                 int(x0s[i]), int(gaps[i]) if m == "doubledelta" else None,
             )
-            out.append(head + _headers_v(nbi) + body)
+            out.append(_maybe_deflate(head + _headers_v(nbi) + body, deflate))
         elif ns[i] < 65536 and len(nbi) <= 255:  # n==0: match encode_column
             head = _head2(mode_names[int(choose2[i])], w, int(ns[i]), int(pads[i]))
-            out.append(head + _headers_compact(nbi) + body)
+            out.append(_maybe_deflate(head + _headers_compact(nbi) + body, deflate))
         else:
             head = (
                 MAGIC
@@ -581,7 +606,7 @@ def _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode):
                 + bytes([pads[i]])
                 + zero16
             )
-            out.append(head + rle.encode_headers(nbi) + body)
+            out.append(_maybe_deflate(head + rle.encode_headers(nbi) + body, deflate))
     return out
 
 

@@ -66,16 +66,18 @@ _SCHEMA = StructType(
 _COLS = [f.name for f in _SCHEMA.fields]
 
 
-def _encode_measure(vals, piece_starts, piece_lens, codec):
+def _encode_measure(vals, piece_starts, piece_lens, codec, deflate=False):
     """Encode one measure column cut into pieces; returns (blobs, metas).
 
     For codec='fire': per-piece offset quantization to the narrowest of
     u8/u16 via reduceat min/max; pieces whose span exceeds u16 fall back
     to the 64-bit delta path (mixed-width pieces are grouped per width so
-    each width is one batched call)."""
+    each width is one batched call). The fused job is the reference's
+    'fastest setting' (results.tex:168): deflate post-pass off by default;
+    the modular retention path is the 'max-ratio setting' (deflate on)."""
     n_pieces = len(piece_starts)
     if codec != "fire":
-        blobs = sz.encode_batch_concat(vals, piece_lens, None)
+        blobs = sz.encode_batch_concat(vals, piece_lens, None, deflate)
         metas = [
             {"codec": "sprintz", "mode": sz.blob_mode(b), "np_dtype": "int64"}
             for b in blobs
@@ -99,7 +101,7 @@ def _encode_measure(vals, piece_starts, piece_lens, codec):
         ) if len(sel) else np.empty(0, np.int64)
         sub = vals[gather]
         if w == 64:
-            bl = sz.encode_batch_concat(sub, lens_w, None)
+            bl = sz.encode_batch_concat(sub, lens_w, None, deflate)
             for j, i in enumerate(sel):
                 blobs[i] = bl[j]
                 metas[i] = {
@@ -110,7 +112,7 @@ def _encode_measure(vals, piece_starts, piece_lens, codec):
         else:
             offs = np.repeat(mins[sel], lens_w)
             q = (sub - offs).astype(dt)
-            bl = sz.encode_batch_concat_fire(q, lens_w)
+            bl = sz.encode_batch_concat_fire(q, lens_w, deflate)
             for j, i in enumerate(sel):
                 blobs[i] = bl[j]
                 metas[i] = {
@@ -185,7 +187,7 @@ def fused_rollup_encode(
             p_starts = s_starts[p_series] + p_ord * chunk_rows
             p_lens = np.minimum(chunk_rows, s_lens[p_series] - p_ord * chunk_rows)
             n_pieces = len(p_starts)
-            ts_blobs = sz.encode_batch_concat(g_bucket, p_lens, "doubledelta")
+            ts_blobs = sz.encode_batch_concat(g_bucket, p_lens, "doubledelta", False)
             raws = p_lens * 8
             comps = np.fromiter((len(b) for b in ts_blobs), np.int64, n_pieces)
             out = pd.DataFrame(
