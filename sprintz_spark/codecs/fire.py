@@ -208,7 +208,9 @@ def fire_decode_multi(
     # segmented wraparound cumsum: d[s] is the absolute restart value
     du = deltas.view(su)
     c = np.cumsum(du, dtype=su)
-    off = c[starts] - du[starts]
+    ne = np.asarray(plens, dtype=np.int64) > 0  # empty segments have no start
+    off = np.zeros(len(starts), dtype=su)
+    off[ne] = c[starts[ne]] - du[starts[ne]]
     return c - np.repeat(off, plens)
 
 
