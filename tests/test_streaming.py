@@ -75,3 +75,78 @@ def test_stream_rollup_matches_batch(spark, pages_small, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(want[got.columns], got)
+
+
+def test_stateful_stream_encoder(spark, tmp_path):
+    """applyInPandasWithState sprintz encoder: points buffered across
+    micro-batches come back exactly after decode, and small early batches
+    do NOT emit (buffering works) until min_rows or the flush marker."""
+    import numpy as np
+
+    from sprintz_spark.codecs import sprintz as sz
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in ("a", "b"):
+        for i in range(90):
+            rows.append((u, t0 + dt.timedelta(minutes=i), (i * 7) % 101, False))
+    pdf = pd.DataFrame(rows, columns=["url", "bucket", "v", "flush"])
+    src = str(tmp_path / "pts_src")
+    sdf = spark.createDataFrame(pdf)
+    # three ordered slices of 30 points/url: 30 pending after slice 1
+    # (below min_rows=50, buffered), 60 after slice 2 (emitted), 30 after
+    # slice 3 (buffered until the flush markers)
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        sl = sdf.where(
+            (F.col("bucket") >= F.lit(t0 + dt.timedelta(minutes=lo)))
+            & (F.col("bucket") < F.lit(t0 + dt.timedelta(minutes=hi)))
+        )
+        sl.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)
+    markers = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", t0, 0, True), ("b", t0, 0, True)],
+            columns=["url", "bucket", "v", "flush"],
+        ),
+        schema=sdf.schema,
+    )
+    markers.coalesce(1).write.mode("append").parquet(src)
+
+    from sprintz_spark.streaming.rollup_stream import stream_encode_stateful
+
+    stream = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    enc = stream_encode_stateful(stream, value_col="v", min_rows=50)
+    out = str(tmp_path / "enc_out2")
+    q = (
+        enc.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk2"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out).toPandas()
+    # per url: first emit at 64+ pending (after slice 2), second at flush
+    assert set(got["url"]) == {"a", "b"}
+    for u in ("a", "b"):
+        chunks = got[got["url"] == u].sort_values("start_bucket")
+        assert chunks["n"].sum() == 90
+        assert list(chunks["n"]) == [60, 30]  # mid-stream emit + flush
+        ts_all, v_all = [], []
+        for _, r in chunks.iterrows():
+            ts_all.append(sz.decode_column(r["ts_blob"]).view(np.int64))
+            v_all.append(sz.decode_column(r["value_blob"]).view(np.int64))
+        ts_cat = np.concatenate(ts_all)
+        v_cat = np.concatenate(v_all)
+        want = pdf[(pdf["url"] == u) & (~pdf["flush"])].sort_values("bucket")
+        np.testing.assert_array_equal(
+            ts_cat, want["bucket"].astype("datetime64[us]").to_numpy().view(np.int64)
+        )
+        np.testing.assert_array_equal(v_cat, want["v"].to_numpy(np.int64))
