@@ -94,12 +94,18 @@ def _encode_measure(vals, piece_starts, piece_lens, codec, deflate=False):
         sel = np.flatnonzero(width == w)
         if not len(sel):
             continue
-        # gather the selected pieces into one concat (vectorized)
         lens_w = piece_lens[sel]
-        gather = np.concatenate(
-            [np.arange(piece_starts[i], piece_starts[i] + piece_lens[i]) for i in sel]
-        ) if len(sel) else np.empty(0, np.int64)
-        sub = vals[gather]
+        if len(sel) == n_pieces:
+            sub = vals  # pieces tile vals exactly; no gather needed
+        else:
+            # vectorized gather of the selected pieces into one concat
+            tot = int(lens_w.sum())
+            off0 = np.concatenate([[0], np.cumsum(lens_w)[:-1]])
+            gather = (
+                np.arange(tot, dtype=np.int64)
+                + np.repeat(piece_starts[sel] - off0, lens_w)
+            )
+            sub = vals[gather]
         if w == 64:
             bl = sz.encode_batch_concat(sub, lens_w, None, deflate)
             for j, i in enumerate(sel):
