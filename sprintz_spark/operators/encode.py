@@ -116,14 +116,11 @@ def _transform_decoded(arr: np.ndarray, meta: dict) -> np.ndarray | pd.Series:
 def decode_value_columns_batch(
     blobs: list[bytes], metas: list[dict]
 ) -> list[np.ndarray | pd.Series]:
-    """Batched decode of one value column across many chunks; gorilla and
-    quantized blobs fall back to the per-blob path (they carry per-chunk
-    float state), everything else shares decode_batch's global passes."""
-    simple_idx = [
-        i
-        for i, m in enumerate(metas)
-        if m["codec"] == "sprintz" and "qparams" not in m
-    ]
+    """Batched decode of one value column across many chunks; gorilla blobs
+    fall back to the per-blob path, everything else (including quantized
+    chunks — unquantize is a cheap per-chunk numpy transform applied to the
+    batch-decoded array) shares decode_batch's global passes."""
+    simple_idx = [i for i, m in enumerate(metas) if m["codec"] == "sprintz"]
     out: list = [None] * len(blobs)
     if simple_idx:
         decoded = sz.decode_batch([blobs[i] for i in simple_idx])
@@ -133,6 +130,99 @@ def decode_value_columns_batch(
         if out[i] is None:
             out[i] = _decode_value_column(blobs[i], m).to_numpy()
     return out
+
+
+_UINT_BY_W = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+
+
+def _encode_float_batch(
+    vals: np.ndarray,
+    piece_starts: np.ndarray,
+    piece_lens: np.ndarray,
+    orig_dtype: str,
+) -> tuple[list, list] | None:
+    """Batched per-piece decimal quantization + sprintz encode for a plain
+    float column — the vectorized analog of quantize()+encode_column per
+    piece (identical semantics: same scale inference, offset, dtype choice,
+    NaN sentinel; verified by the round-trip tests). Pieces that defeat the
+    quantizer (no decimal scale, span > u64, all-NaN, |x| >= 2^53) return
+    None in their slot so the caller can fall back per piece."""
+    n_pieces = len(piece_starts)
+    vals = vals.astype(np.float64, copy=False)
+    nonfinite = ~np.isfinite(vals)
+    clean = np.where(nonfinite, 0.0, vals)
+    nf_cnt = np.add.reduceat(nonfinite.astype(np.int64), piece_starts)
+    allfinite = nf_cnt == 0
+    n_finite = piece_lens - nf_cnt
+    ok = n_finite > 0
+    ok &= np.maximum.reduceat(np.abs(clean), piece_starts) < 2.0**53
+    # per-piece smallest 10^k (k<=6) making all finite values integral,
+    # with the same exact-roundtrip check as quantize._infer_scale
+    scales = np.full(n_pieces, np.nan)
+    pending = ok.copy()
+    for k in range(Q.MAX_SCALE_EXP + 1):
+        if not pending.any():
+            break
+        scale = 10.0**k
+        scaled = clean * scale
+        r = np.round(scaled)
+        viol = (np.abs(scaled - r) > 1e-9) | (r / scale != clean)
+        viol &= ~nonfinite
+        bad = np.add.reduceat(viol.astype(np.int64), piece_starts) > 0
+        hit = pending & ~bad
+        scales[hit] = scale
+        pending &= bad
+    ok &= np.isfinite(scales)
+    if not ok.any():
+        return None
+    scale_el = np.repeat(np.where(ok, np.nan_to_num(scales, nan=1.0), 1.0), piece_lens)
+    scaled_int = np.round(clean * scale_el)
+    inf_hi = np.where(nonfinite, np.inf, scaled_int)
+    inf_lo = np.where(nonfinite, -np.inf, scaled_int)
+    mins = np.minimum.reduceat(inf_hi, piece_starts)
+    maxs = np.maximum.reduceat(inf_lo, piece_starts)
+    spans = np.where(ok, maxs - mins, 0.0)
+    need_sent = (~allfinite).astype(np.int64)
+    width = np.full(n_pieces, 64, np.int64)
+    for w in (32, 16, 8):
+        hi = float(np.iinfo(_UINT_BY_W[w]).max)
+        width = np.where(spans <= hi - need_sent, w, width)
+    ok &= spans <= float(np.iinfo(np.uint64).max) - need_sent
+    u_all = scaled_int - np.repeat(np.where(ok, np.nan_to_num(mins, nan=0.0), 0.0), piece_lens)
+    u_all[nonfinite] = 0.0  # sentinel applied after the uint cast (as quantize())
+    blobs: list = [None] * n_pieces
+    metas: list = [None] * n_pieces
+    for w in (8, 16, 32, 64):
+        dt = _UINT_BY_W[w]
+        sel = np.flatnonzero(ok & (width == w))
+        if not len(sel):
+            continue
+        lens_w = piece_lens[sel]
+        tot = int(lens_w.sum())
+        off0 = np.concatenate([[0], np.cumsum(lens_w)[:-1]])
+        gather = np.arange(tot, dtype=np.int64) + np.repeat(piece_starts[sel] - off0, lens_w)
+        sub = u_all[gather].astype(dt)
+        nf_sub = nonfinite[gather]
+        if nf_sub.any():
+            sub[nf_sub] = np.iinfo(dt).max
+        bl = sz.encode_batch_concat(sub, lens_w, None)
+        for j, i in enumerate(sel):
+            qp = Q.QuantizeParams(
+                str(np.dtype(dt)),
+                float(mins[i]),
+                float(scales[i]),
+                orig_dtype,
+                bool(allfinite[i]),
+                int(piece_lens[i]),
+            )
+            blobs[i] = bl[j]
+            metas[i] = {
+                "codec": "sprintz",
+                "mode": sz.blob_mode(bl[j]),
+                "np_dtype": str(np.dtype(dt)),
+                "qparams": qp.to_dict(),
+            }
+    return blobs, metas
 
 
 def _enc_schema(key_cols: list[str], value_cols: list[str], key_types) -> StructType:
@@ -233,11 +323,25 @@ def encode_series(
                 ]
                 raws = raws + s.dtype.itemsize * piece_lens
             else:
-                blobs, metas_c = [], []
-                for st, ln in zip(piece_starts, piece_lens):
-                    blob, m = _encode_value_column(s.iloc[st : st + ln], force)
-                    blobs.append(blob)
-                    metas_c.append(m)
+                blobs = metas_c = None
+                if force != "gorilla" and s.dtype.kind == "f":
+                    res = _encode_float_batch(
+                        s.to_numpy(), piece_starts, piece_lens, str(s.dtype)
+                    )
+                    if res is not None:
+                        blobs, metas_c = res
+                        for i in range(n_pieces):  # quantizer-defeating pieces
+                            if blobs[i] is None:
+                                st, ln = piece_starts[i], piece_lens[i]
+                                blobs[i], metas_c[i] = _encode_value_column(
+                                    s.iloc[st : st + ln], force
+                                )
+                if blobs is None:
+                    blobs, metas_c = [], []
+                    for st, ln in zip(piece_starts, piece_lens):
+                        blob, m = _encode_value_column(s.iloc[st : st + ln], force)
+                        blobs.append(blob)
+                        metas_c.append(m)
                 raws = raws + 8 * piece_lens
             comps = comps + np.fromiter((len(b) for b in blobs), np.int64, n_pieces)
             col_blobs[c] = blobs

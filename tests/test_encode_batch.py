@@ -76,3 +76,44 @@ def test_decode_batch_speed():
     assert t < 0.5, f"decode_batch of 2000 tiny blobs took {t:.2f}s"
     for a, o in zip(arrays, outs):
         np.testing.assert_array_equal(o.view(np.int64), a)
+
+
+def test_float_batch_matches_per_piece_quantize():
+    """_encode_float_batch must reproduce quantize()+encode per piece:
+    same qparams, lossless round-trip, incl. NaN sentinels, mixed widths,
+    and quantizer-defeating pieces (None slots)."""
+    import pandas as pd
+
+    from sprintz_spark.codecs import quantize as Q
+    from sprintz_spark.operators.encode import (
+        _decode_value_column,
+        _encode_float_batch,
+        _encode_value_column,
+    )
+
+    pieces = [
+        np.array([1.25, 3.5, 2.0, 2.0]),                      # scale 100? -> 4
+        np.array([7.0, 8.0, np.nan, 9.0]),                    # NaN sentinel
+        np.arange(300.0) * 0.1,                               # scale 10
+        np.array([np.nan, np.nan]),                           # all-NaN -> fallback
+        np.array([0.1234567891] * 3),                         # no decimal scale -> fallback
+        np.array([1e6, -1e6, 0.0]),                           # wide span
+        np.array([np.inf, 1.0, 2.0]),                         # inf sentinel
+    ]
+    vals = np.concatenate(pieces)
+    lens = np.array([len(p) for p in pieces], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    blobs, metas = _encode_float_batch(vals, starts, lens, "float64")
+    assert blobs[3] is None and blobs[4] is None  # fallback slots
+    for i, p in enumerate(pieces):
+        ref_blob, ref_meta = _encode_value_column(pd.Series(p))
+        if blobs[i] is None:
+            continue
+        assert metas[i]["qparams"] == ref_meta["qparams"], i
+        got = _decode_value_column(blobs[i], metas[i]).to_numpy()
+        ref = _decode_value_column(ref_blob, ref_meta).to_numpy()
+        # sentinel semantics (reference dfquantize2): NaN and ±inf both
+        # round-trip to NaN — compare against the per-piece path's output
+        np.testing.assert_array_equal(got, ref, err_msg=f"piece {i}")
+        finite = np.isfinite(p)
+        np.testing.assert_array_equal(got[finite], p[finite], err_msg=f"piece {i}")
