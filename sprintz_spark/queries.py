@@ -361,6 +361,34 @@ def q_codec_search_stats(spark, sf_dir):
     )
 
 
+def q_squeeze_report(spark, sf_dir):
+    """The reference's encode->measure->decode->verify harness
+    (dfsqueeze.encode_measure_decode, python/dfsqueeze.py:133-231) over the
+    events series: per-column sizes + a zero mismatch count proving the
+    exact round trip. The oracle pins n_mismatch = 0, so the driver's
+    hash-compare gates the verification itself (compressed sizes stay
+    engine-internal and are excluded)."""
+    from sprintz_spark.plans.squeeze import encode_measure_decode
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("bucket"), _cents().alias("cents")
+    )
+    report, _enc, _dec = encode_measure_decode(
+        ev, key_cols=["user_id"], value_cols=["cents"]
+    )
+    return report.select("column", "n_points", "raw_bytes", "n_mismatch").orderBy(
+        "column"
+    )
+
+
+_SQUEEZE_SQL = """
+SELECT col AS column, count(*) AS n_points, 8*count(*) AS raw_bytes,
+       0 AS n_mismatch
+FROM events CROSS JOIN (VALUES ('bucket'), ('cents')) AS t(col)
+GROUP BY col ORDER BY col
+"""
+
+
 def q_text_extract_verified(spark, sf_dir):
     """North-star per-row invariant: byte-identical extracted text per url.
     Generates the deterministic Common-Crawl-style pages table, runs the
@@ -641,6 +669,7 @@ def queries() -> dict:
         "quantize_roundtrip": q_quantize_roundtrip,
         "colsum_predictor": q_colsum_predictor,
         "codec_search_stats": q_codec_search_stats,
+        "squeeze_report": q_squeeze_report,
         "text_extract_verified": q_text_extract_verified,
         "pricing_summary": q_pricing_summary,
         "dedup_wordset": q_dedup_wordset,
@@ -671,6 +700,7 @@ def oracles() -> dict:
         "gorilla_roundtrip": _GORILLA_SQL,
         "quantize_roundtrip": _QUANTIZE_SQL,
         "colsum_predictor": _COLSUM_SQL,
+        "squeeze_report": _SQUEEZE_SQL,
         "pricing_summary": _PRICING_SQL,
         "dedup_wordset": _DEDUP_WORDSET_SQL,
         "token_stats": _TOKEN_STATS_SQL,

@@ -129,3 +129,25 @@ def test_encode_float_gapfilled_series(spark):
     )
     orig = df.toPandas().sort_values("bucket").reset_index(drop=True)
     assert (back.v.to_numpy().view(np.uint64) == orig.v.to_numpy().view(np.uint64)).all()
+
+
+def test_io_dispatch_roundtrip(spark, tmp_path):
+    """read_table/write_table format dispatch (reference make_dfset /
+    CsvDfSet / copy_from_csvs_dir parity)."""
+    import pandas as pd
+
+    from sprintz_spark.sources.io import copy_from_csv_dir, read_table, write_table
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 3], "b": [1.5, 2.5, -3.0], "s": ["x", "y", "z"]})
+    )
+    for fmt in ("parquet", "csv", "json"):
+        p = str(tmp_path / f"t_{fmt}")
+        write_table(df, p, fmt=fmt, compression="none" if fmt == "parquet" else None)
+        back = read_table(spark, p, fmt=fmt, schema=df.schema if fmt == "json" else None)
+        got = back.toPandas().sort_values("a").reset_index(drop=True)
+        want = df.toPandas().sort_values("a").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False)
+    csv_dir = str(tmp_path / "t_csv")
+    got = copy_from_csv_dir(spark, csv_dir).toPandas().sort_values("a").reset_index(drop=True)
+    assert len(got) == 3 and set(got.columns) == {"a", "b", "s"}
