@@ -85,21 +85,36 @@ def run_pipeline(spark, n_rows: int) -> dict:
             },
         }
         # fused single-shuffle job (high-throughput path), with the
-        # lossless-verify stage included in a second timing
+        # lossless-verify stage included in a second timing. Measured on a
+        # cached larger input (fixed job overhead would dominate at the
+        # retention-path scale above); parquet on disk like production.
         from sprintz_spark.plans.jobs import fused_rollup_encode, verify_encoded
+        from sprintz_spark.sources.pages import generate_pages
 
-        t0 = time.perf_counter()
-        fused_rollup_encode(pages, codec="fire").write.format("noop").mode(
-            "overwrite"
-        ).save()
-        fw = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        verify_encoded(fused_rollup_encode(pages, codec="fire")).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        vw = time.perf_counter() - t0
-        out["fused_fire_rows_per_sec"] = round(n_input / fw, 1)
-        out["fused_encode_verify_rows_per_sec"] = round(n_input / vw, 1)
+        spark = pages.sparkSession
+        fused_rows = int(os.environ.get("BENCH_FUSED_ROWS", "6000000"))
+        cache = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".data", f"pages_bench_{fused_rows}"
+        )
+        if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+            generate_pages(spark, fused_rows).write.mode("overwrite").parquet(cache)
+        big = spark.read.parquet(cache)
+        n_big = big.count()
+        fw = vw = float("inf")
+        for _trial in range(2):  # warm JVM/python workers; best-of-2
+            t0 = time.perf_counter()
+            fused_rollup_encode(big, codec="fire").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            fw = min(fw, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            verify_encoded(fused_rollup_encode(big, codec="fire")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            vw = min(vw, time.perf_counter() - t0)
+        out["fused_rows"] = n_big
+        out["fused_fire_rows_per_sec"] = round(n_big / fw, 1)
+        out["fused_encode_verify_rows_per_sec"] = round(n_big / vw, 1)
         return out
 
 
