@@ -7,7 +7,8 @@ Prints ONE JSON line:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     BENCH_PAGES_ROWS (default 1000000) for the pages pipeline section,
+     BENCH_PAGES_ROWS (default 6000000) for the pages pipeline section
+       (shares the .data cache with the fused section),
      BENCH_SKIP_PIPELINE=1 to run only the table queries.
 """
 
@@ -70,7 +71,7 @@ def run_pipeline(spark, n_rows: int) -> dict:
         n_input = pages.count()
         t0 = time.perf_counter()
         RT.run_retention(
-            pages, os.path.join(tmp, "ret"), snapshot_id="bench", n_buckets=32
+            pages, os.path.join(tmp, "ret"), snapshot_id="bench", n_buckets=64
         )
         wall = time.perf_counter() - t0
         ratios = RT.tier_ratio_report(spark, os.path.join(tmp, "ret"), "bench")
@@ -139,7 +140,7 @@ def main() -> None:
 
     extra: dict = {}
     if os.environ.get("BENCH_SKIP_PIPELINE") != "1":
-        extra = run_pipeline(spark, int(os.environ.get("BENCH_PAGES_ROWS", "1000000")))
+        extra = run_pipeline(spark, int(os.environ.get("BENCH_PAGES_ROWS", "6000000")))
 
     out = {
         "metric": "engine_bench_total",
