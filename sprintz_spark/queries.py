@@ -361,6 +361,31 @@ def q_codec_search_stats(spark, sf_dir):
     )
 
 
+def q_rollup_grouping_sets(spark, sf_dir):
+    """Multi-level subtotals via the relational ROLLUP operator (SURVEY
+    §2.6: absent in the reference, built-in Spark for the target engine).
+    Subtotal rows are labeled '(all)' on both sides so the hash compare
+    is null-free."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars_sum"))
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "n_docs",
+            "chars_sum",
+        )
+    )
+
+
+_GROUPING_SQL = """
+SELECT COALESCE(lang, '(all)') AS lang, COALESCE(source, '(all)') AS source,
+       count(*) AS n_docs, sum(n_chars) AS chars_sum
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
 def q_squeeze_report(spark, sf_dir):
     """The reference's encode->measure->decode->verify harness
     (dfsqueeze.encode_measure_decode, python/dfsqueeze.py:133-231) over the
@@ -670,6 +695,7 @@ def queries() -> dict:
         "colsum_predictor": q_colsum_predictor,
         "codec_search_stats": q_codec_search_stats,
         "squeeze_report": q_squeeze_report,
+        "rollup_grouping_sets": q_rollup_grouping_sets,
         "text_extract_verified": q_text_extract_verified,
         "pricing_summary": q_pricing_summary,
         "dedup_wordset": q_dedup_wordset,
@@ -701,6 +727,7 @@ def oracles() -> dict:
         "quantize_roundtrip": _QUANTIZE_SQL,
         "colsum_predictor": _COLSUM_SQL,
         "squeeze_report": _SQUEEZE_SQL,
+        "rollup_grouping_sets": _GROUPING_SQL,
         "pricing_summary": _PRICING_SQL,
         "dedup_wordset": _DEDUP_WORDSET_SQL,
         "token_stats": _TOKEN_STATS_SQL,
