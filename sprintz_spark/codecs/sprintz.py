@@ -11,11 +11,23 @@ byte-level port):
     headers = RLE(value, varint runlen) over the nbits stream
     payload = width-grouped little-endian bit packing
 
-Wire format (one BinaryType cell per series chunk):
+Wire formats (one BinaryType cell per series chunk; first byte selects):
 
-    magic 'SZ1' | mode u8 | w u8 (bits/elem) | n u32 | pad_last u8 |
-    extra_len u16 | extra (mode-specific: dyndelta choice mask) |
-    headers (rle.encode_headers) | payload
+  'Y' (0x59) — compact head + out-of-band firsts (delta/doubledelta,
+      1 <= n <= 65536): 'Y' | mode(3b)|w_code(2b)|pad(3b) | (n-1) u16 |
+      uvarint zz(x0) [| uvarint zz(d1) for doubledelta] | uvarint nruns |
+      run values u8[] | run lengths varint[] | payload. The leading
+      residual slots and trailing pad-slot residuals are zeroed, and
+      trailing zero payload bytes are stripped (decode zero-extends), so
+      a regular series of any length costs ~21 B.
+  'Z' (0x5A) — compact head, in-stream firsts (fire/raw, small chunks):
+      'Z' | packed | n u16 | nruns u8 | headers | payload.
+  'SZ1' (0x53…) — full head (large n or dyndelta's extra):
+      'SZ1' | mode u8 | w u8 | n u32 | pad u8 | extra_len u16 | extra |
+      headers (u32-nruns) | payload.
+  'W' (0x57) — zlib wrapper around any of the above, applied per blob
+      when it shrinks it (cost-based entropy post-pass — the paper's
+      Huffman stage, method.tex:300-303).
 
 Supported element widths: 8, 16, 32, 64 (FIRE: 8/16 only, like the
 reference's C core — cpp/Compress/sprintz_delta_rle.cpp:58-61).
