@@ -15,7 +15,7 @@ from hypothesis.extra import numpy as hnp
 
 from sprintz_spark.codecs import sprintz as sz
 
-_DTYPES = [np.uint8, np.uint16, np.int64]
+_DTYPES = [np.uint8, np.uint16, np.int32, np.uint64, np.int64]
 _MODES = ["delta", "doubledelta", "dyndelta", "raw"]
 
 
