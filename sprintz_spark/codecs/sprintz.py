@@ -685,3 +685,131 @@ def compressed_size_report(buf: bytes) -> dict:
         "zero_blocks": int((nbits == 0).sum()),
         "nblocks": int(len(nbits)),
     }
+
+
+# --- multi-series container ('C') ------------------------------------------
+#
+# One blob for MANY series of one column (tier stores with tiny per-key
+# series — e.g. the daily tier's 1-3-point series — would otherwise pay
+# ~10-21 B of per-blob framing each). Per-series data shrinks to a varint
+# length + varint zigzag first value(s); block headers and payload are
+# shared across the whole container, and since every series' leading
+# residuals and pad slots are zeroed, a 1-point series contributes zero
+# payload bits. Layout:
+#
+#   'C' | mode(3b)|w_code(2b)|0 | uvarint n_series | uvarint n[i]... |
+#   uvarint zz(x0[i])... [| uvarint zz(d1[i])... if doubledelta] |
+#   uvarint nruns | run values u8[] | run lengths varint[] |
+#   payload (trailing zeros stripped)
+
+MAGIC_CONTAINER = 0x43  # b'C'
+
+
+def encode_container(
+    values: np.ndarray, lengths: np.ndarray, mode: str = "delta", deflate: bool = True
+) -> bytes:
+    """Encode many series (concatenated ``values`` cut by ``lengths``) of
+    one column into ONE blob. mode: 'delta' | 'doubledelta'."""
+    if mode not in ("delta", "doubledelta"):
+        raise ValueError("container supports delta/doubledelta")
+    values = np.asarray(values)
+    if values.dtype.kind not in "iu":
+        raise TypeError(f"encode_container takes integer arrays, got {values.dtype}")
+    w = values.dtype.itemsize * 8
+    su = _UNSIGNED[w]
+    ns = np.asarray(lengths, dtype=np.int64)
+    u, pads, plens, dst_starts = _pad_concat(values, ns, su)
+    starts = dst_starts[:-1]
+    nonempty = plens > 0
+    s_idx = starts[nonempty]
+    # residual stream with per-series restarts, firsts zeroed out-of-band
+    d1 = np.empty_like(u)
+    if len(u):
+        d1[0] = u[0]
+        np.subtract(u[1:], u[:-1], out=d1[1:])
+        d1[s_idx] = u[s_idx]
+    x0s = np.zeros(len(ns), dtype=su)
+    gaps = np.zeros(len(ns), dtype=su)
+    if len(u):
+        x0s[nonempty] = u[s_idx]
+        gaps[nonempty] = u[s_idx + 1] - u[s_idx]
+    if mode == "doubledelta":
+        d2 = np.empty_like(d1)
+        if len(u):
+            d2[0] = d1[0]
+            np.subtract(d1[1:], d1[:-1], out=d2[1:])
+            s1 = s_idx[plens[nonempty] > 1] + 1
+            d2[s1] = d1[s1] - d1[s1 - 1]
+        z = zigzag.encode(d2.view(_SIGNED[w]))
+        if len(u):
+            z[s_idx] = 0
+            z[s_idx + 1] = 0
+            z[_pad_positions(ns, pads, dst_starts)] = 0
+    else:
+        z = zigzag.encode(d1.view(_SIGNED[w]))
+        if len(u):
+            z[s_idx] = 0
+    nb = bitpack.block_nbits(z, BLOCK) if len(u) else np.zeros(0, np.uint8)
+    payload = (bitpack.pack_blocks(z, nb, BLOCK) if len(u) else b"").rstrip(b"\x00")
+    head = bytearray([MAGIC_CONTAINER, (MODES[mode] << 5) | (_W_CODE[w] << 3)])
+    head += _uvarint(len(ns))
+    for n in ns.tolist():
+        head += _uvarint(int(n))
+    for v in x0s.tolist():
+        head += _uvarint(_zz_scalar(int(v), w))
+    if mode == "doubledelta":
+        for v in gaps.tolist():
+            head += _uvarint(_zz_scalar(int(v), w))
+    blob = bytes(head) + _headers_v(nb) + payload
+    return _maybe_deflate(blob, deflate)
+
+
+def decode_container(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_container: (values_concat, lengths)."""
+    buf = _inflate(buf)
+    assert buf[0] == MAGIC_CONTAINER, "bad container magic"
+    packed = buf[1]
+    mode = _MODE_NAMES[packed >> 5]
+    w = _W_FROM_CODE[(packed >> 3) & 0x3]
+    su = _UNSIGNED[w]
+    mask = (1 << w) - 1
+    pos = 2
+    n_series, pos = _read_uvarint(buf, pos)
+    ns = np.empty(n_series, dtype=np.int64)
+    for i in range(n_series):
+        ns[i], pos = _read_uvarint(buf, pos)
+    x0s = np.empty(n_series, dtype=su)
+    for i in range(n_series):
+        v, pos = _read_uvarint(buf, pos)
+        x0s[i] = su(_unzz_scalar(v, w))
+    gaps = None
+    if mode == "doubledelta":
+        gaps = np.empty(n_series, dtype=su)
+        for i in range(n_series):
+            v, pos = _read_uvarint(buf, pos)
+            gaps[i] = su(_unzz_scalar(v, w))
+    nruns, pos = _read_uvarint(buf, pos)
+    nbits, used = rle.decode_headers(nruns.to_bytes(4, "little") + buf[pos:])
+    payload = _zero_extend(buf[pos + used - 4 :], nbits)
+    pads = (-ns) % BLOCK
+    plens = ns + pads
+    dst_starts = _cumsum0(plens)
+    starts = dst_starts[:-1]
+    nonempty = plens > 0
+    s_idx = starts[nonempty]
+    z = bitpack.unpack_blocks(payload, nbits, su, BLOCK)
+    d = zigzag.decode(z).view(su)
+    if len(d):
+        d[s_idx] = x0s[nonempty]
+        if mode == "doubledelta":
+            # unsigned subtraction wraps mod 2^w — the residual-domain d1-x0
+            d[s_idx + 1] = gaps[nonempty] - x0s[nonempty]
+    x = _segmented_cumsum(d, s_idx, plens[nonempty]) if len(d) else d
+    if mode == "doubledelta" and len(d):
+        x = _segmented_cumsum(x, s_idx, plens[nonempty])
+    # drop pad slots
+    if pads.any():
+        keep = np.ones(len(x), dtype=bool)
+        keep[_pad_positions(ns, pads, dst_starts)] = False
+        x = x[keep]
+    return x, ns

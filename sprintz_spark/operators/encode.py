@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     LongType,
@@ -461,3 +462,149 @@ def query_encoded(
         F.min("p_min").alias(f"{value_col}_min"),
         F.sum("p_cnt").alias("n_points"),
     )
+
+
+# --- multi-series containers (tiny-series tiers) ---------------------------
+
+_CONT_COLS = None  # built per call
+
+
+def encode_series_container(
+    df: DataFrame,
+    key_cols: list[str] = ("url",),
+    ts_col: str = "bucket",
+    value_cols: list[str] = ("crawl_count", "byte_size_sum", "byte_size_max"),
+    chunk_rows: int = DEFAULT_CHUNK,
+    part_col: str | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """One output row per (partition, container): ALL series of the slice
+    packed into one blob per column (codecs.sprintz.encode_container).
+    For tiers whose per-key series are tiny (the daily tier's 1-3 points)
+    this amortizes per-blob framing to ~2-9 B per series — per-series rows
+    would pay 10-21 B of head each. Series never straddle containers;
+    containers are capped at ~chunk_rows rows, so decode memory is
+    bounded regardless of partition size. int64 measures only."""
+    if len(list(key_cols)) != 1:
+        raise ValueError("container encoding supports a single key column")
+    key = list(key_cols)[0]
+    value_cols = list(value_cols)
+    spark = df.sparkSession
+    drop_part = part_col is None
+    if part_col is None:
+        part_col = "_enc_part"
+        n_parts = n_parts or spark.sparkContext.defaultParallelism * 2
+        df = df.withColumn(
+            part_col, F.pmod(F.xxhash64(key), F.lit(n_parts)).cast("int")
+        )
+    key_t = df.schema[key].dataType
+    part_t = df.schema[part_col].dataType
+    fields = ([] if drop_part else [StructField(part_col, part_t)]) + [
+        StructField("chunk", LongType()),
+        StructField("n_series", LongType()),
+        StructField("keys", ArrayType(key_t)),
+        StructField("start_bucket", TimestampType()),
+        StructField("n", LongType()),
+        StructField("ts_blob", BinaryType()),
+        StructField("meta", StringType()),
+        StructField("raw_bytes", LongType()),
+        StructField("comp_bytes", LongType()),
+        StructField("encode_secs", DoubleType()),
+    ] + [StructField(f"blob_{c}", BinaryType()) for c in value_cols]
+    schema = StructType(fields)
+    col_names = [f.name for f in schema.fields]
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(columns=col_names)
+        pdf = pdf.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        karr = pdf[key].to_numpy()
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = karr[1:] != karr[:-1]
+        s_starts = np.flatnonzero(change)
+        s_lens = np.diff(np.append(s_starts, n))
+        # assign whole series to containers of <= chunk_rows rows
+        cum = np.cumsum(s_lens)
+        cont_of_series = ((cum - s_lens) // chunk_rows).astype(np.int64)
+        ts_np = pdf[ts_col].astype("datetime64[us]").to_numpy()
+        ts_i64 = ts_np.view(np.int64)
+        rows = []
+        for c_id in np.unique(cont_of_series):
+            sel = cont_of_series == c_id
+            lens_c = s_lens[sel]
+            lo = int(s_starts[sel][0])
+            hi = int(s_starts[sel][-1] + lens_c[-1])
+            total = hi - lo
+            ts_blob = sz.encode_container(ts_i64[lo:hi], lens_c, "doubledelta")
+            raw = total * 8
+            comp = len(ts_blob)
+            rec = {
+                "chunk": int(c_id),
+                "n_series": int(sel.sum()),
+                "keys": karr[s_starts[sel]].tolist(),
+                "start_bucket": ts_np[lo],
+                "n": total,
+                "ts_blob": ts_blob,
+            }
+            metas = {"ts": {"codec": "sprintz-container", "mode": "doubledelta"}}
+            for c in value_cols:
+                vals = pdf[c].to_numpy()[lo:hi]
+                if vals.dtype != np.int64:
+                    vals = vals.astype(np.int64)
+                b1 = sz.encode_container(vals, lens_c, "delta")
+                b2 = sz.encode_container(vals, lens_c, "doubledelta")
+                blob, mode = (b1, "delta") if len(b1) <= len(b2) else (b2, "doubledelta")
+                rec[f"blob_{c}"] = blob
+                metas[c] = {"codec": "sprintz-container", "mode": mode, "np_dtype": "int64"}
+                raw += total * 8
+                comp += len(blob)
+            rec["meta"] = json.dumps(metas)
+            rec["raw_bytes"] = raw
+            rec["comp_bytes"] = comp
+            rows.append(rec)
+        out = pd.DataFrame(rows)
+        if not drop_part:
+            out[part_col] = pdf[part_col].iloc[0]
+        out["encode_secs"] = (time.perf_counter() - t0) / max(len(rows), 1)
+        return out[col_names]
+
+    return df.groupBy(part_col).applyInPandas(enc, schema)
+
+
+def decode_series_container(
+    enc: DataFrame,
+    key_cols: list[str] = ("url",),
+    ts_col: str = "bucket",
+    value_cols: list[str] = ("crawl_count", "byte_size_sum", "byte_size_max"),
+) -> DataFrame:
+    """Explode container rows back to the original series rows (narrow)."""
+    key = list(key_cols)[0]
+    value_cols = list(value_cols)
+    extra = [f for f in ([p for p in ("part",) if p in enc.columns])]
+    fields = [StructField(p, enc.schema[p].dataType) for p in extra]
+    fields += [
+        StructField(key, enc.schema["keys"].dataType.elementType),
+        StructField(ts_col, TimestampType()),
+    ]
+    fields += [StructField(c, LongType()) for c in value_cols]
+    schema = StructType(fields)
+
+    def dec(it):
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                ts_vals, ns = sz.decode_container(row["ts_blob"])
+                base = pd.DataFrame(
+                    {key: np.repeat(np.asarray(row["keys"], dtype=object), ns)}
+                )
+                for p in extra:
+                    base.insert(0, p, row[p])
+                base[ts_col] = ts_vals.view(np.int64).astype("datetime64[us]")
+                for c in value_cols:
+                    vals, _ = sz.decode_container(row[f"blob_{c}"])
+                    base[c] = vals.view(np.int64)
+                yield base[[f.name for f in schema.fields]]
+
+    return enc.mapInPandas(dec, schema)

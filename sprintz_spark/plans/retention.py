@@ -31,7 +31,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sprintz_spark.operators import rollup as R
-from sprintz_spark.operators.encode import DEFAULT_CHUNK, encode_series
+from sprintz_spark.operators.encode import (
+    DEFAULT_CHUNK,
+    decode_series,
+    decode_series_container,
+    encode_series,
+    encode_series_container,
+)
 
 MEASURES = ["crawl_count", "byte_size_sum", "byte_size_max", "byte_size_min"]
 
@@ -77,6 +83,7 @@ def run_retention(
     n_buckets: int = 8,
     chunk_rows: int = DEFAULT_CHUNK,
     salted: bool = False,
+    container_tiers: tuple[str, ...] = ("1d",),
 ) -> dict:
     """Execute the cascade; returns {tier: {parts_written, skipped, ...}}.
 
@@ -108,7 +115,13 @@ def run_retention(
         pending = _pending_parts(spark, out_dir, tier, snapshot_id, n_buckets)
         enc_path = os.path.join(out_dir, f"snap={snapshot_id}", f"encoded_tier={tier}")
         if pending:
-            enc = encode_series(
+            # coarse tiers have tiny per-url series (1-3 daily points in a
+            # short snapshot); the multi-series container amortizes blob
+            # framing across all series of a partition
+            encoder = (
+                encode_series_container if tier in container_tiers else encode_series
+            )
+            enc = encoder(
                 series.where(F.col("part").isin(pending)),
                 key_cols=["url"],
                 part_col="part",
@@ -168,3 +181,16 @@ def tier_ratio_report(spark: SparkSession, out_dir: str, snapshot_id: str) -> di
         }
         for r in rows
     }
+
+
+def read_tier_decoded(
+    spark: SparkSession, out_dir: str, snapshot_id: str, tier: str
+) -> DataFrame:
+    """Read an encoded tier back as decoded rows, dispatching on the
+    stored format (per-series chunks vs multi-series containers)."""
+    enc = spark.read.parquet(
+        os.path.join(out_dir, f"snap={snapshot_id}", f"encoded_tier={tier}")
+    )
+    if "keys" in enc.columns:  # container format
+        return decode_series_container(enc, key_cols=["url"], value_cols=MEASURES)
+    return decode_series(enc, key_cols=["url"], value_cols=MEASURES)

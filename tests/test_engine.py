@@ -151,3 +151,31 @@ def test_io_dispatch_roundtrip(spark, tmp_path):
     csv_dir = str(tmp_path / "t_csv")
     got = copy_from_csv_dir(spark, csv_dir).toPandas().sort_values("a").reset_index(drop=True)
     assert len(got) == 3 and set(got.columns) == {"a", "b", "s"}
+
+
+def test_container_series_roundtrip(spark, pages_small):
+    """Container encode (one blob per partition+column, many series) must
+    round-trip the daily tier exactly and beat per-series blob sizes."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sprintz_spark.operators import rollup as R
+    from sprintz_spark.operators.encode import (
+        decode_series_container,
+        encode_series,
+        encode_series_container,
+    )
+
+    t1d = R.derive_series(pages_small, "1d")
+    cols = ["crawl_count", "byte_size_sum", "byte_size_max", "byte_size_min"]
+    enc = encode_series_container(t1d, key_cols=["url"], value_cols=cols)
+    dec = decode_series_container(enc, key_cols=["url"], value_cols=cols)
+    got = dec.toPandas().sort_values(["url", "bucket"]).reset_index(drop=True)
+    want = t1d.toPandas().sort_values(["url", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    # size win vs per-series blobs
+    c_sizes = enc.agg(F.sum("comp_bytes"), F.sum("raw_bytes")).first()
+    p = encode_series(t1d, key_cols=["url"], value_cols=cols)
+    p_sizes = p.agg(F.sum("comp_bytes")).first()
+    assert c_sizes[0] < p_sizes[0], (c_sizes[0], p_sizes[0])
+    assert c_sizes[1] / c_sizes[0] > 2.0  # daily tier compresses now

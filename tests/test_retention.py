@@ -14,13 +14,11 @@ from sprintz_spark.plans import retention as RT
 
 
 def _decode_tier(spark, out_dir, tier, snap="snapA"):
-    enc = spark.read.parquet(os.path.join(out_dir, f"snap={snap}", f"encoded_tier={tier}"))
-    df = decode_series(enc, key_cols=["part", "url"], value_cols=RT.MEASURES)
+    df = RT.read_tier_decoded(spark, out_dir, snap, tier)
     return (
         df.toPandas()
         .sort_values(["url", "bucket"])
-        .reset_index(drop=True)
-        .drop(columns=["part"])
+        .reset_index(drop=True)[["url", "bucket", *RT.MEASURES]]
     )
 
 
