@@ -25,6 +25,10 @@ Wire formats (one BinaryType cell per series chunk; first byte selects):
   'SZ1' (0x53…) — full head (large n or dyndelta's extra):
       'SZ1' | mode u8 | w u8 | n u32 | pad u8 | extra_len u16 | extra |
       headers (u32-nruns) | payload.
+  'C' (0x43) — multi-series container: many series of one column in a
+      single blob (shared headers/payload, per-series varint length +
+      varint firsts) — see encode_container; used by tiers whose
+      per-key series are tiny (the daily tier).
   'W' (0x57) — zlib wrapper around any of the above, applied per blob
       when it shrinks it (cost-based entropy post-pass — the paper's
       Huffman stage, method.tex:300-303).
