@@ -608,3 +608,55 @@ def decode_series_container(
                 yield base[[f.name for f in schema.fields]]
 
     return enc.mapInPandas(dec, schema)
+
+
+def query_encoded_container(
+    enc: DataFrame,
+    value_col: str,
+    key_col: str = "url",
+) -> DataFrame:
+    """query_encoded over the container format: per-series sum/max/min/count
+    partials come from one decode_container + reduceat per blob (the whole
+    container's series in two numpy passes); Catalyst's partial+final
+    aggregate combines across containers/partitions. No materialization."""
+    key_t = enc.schema["keys"].dataType.elementType
+    schema = StructType(
+        [
+            StructField(key_col, key_t),
+            StructField("p_sum", LongType()),
+            StructField("p_max", LongType()),
+            StructField("p_min", LongType()),
+            StructField("p_cnt", LongType()),
+        ]
+    )
+    blob_col = f"blob_{value_col}"
+
+    def partials(it):
+        cols = [f.name for f in schema.fields]
+        for pdf in it:
+            frames = []
+            for keys, blob in zip(pdf["keys"], pdf[blob_col]):
+                vals, ns = sz.decode_container(blob)
+                v = vals.view(np.int64)
+                starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            key_col: np.asarray(keys, dtype=object),
+                            "p_sum": np.add.reduceat(v, starts),
+                            "p_max": np.maximum.reduceat(v, starts),
+                            "p_min": np.minimum.reduceat(v, starts),
+                            "p_cnt": ns,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)[cols]
+
+    part = enc.mapInPandas(partials, schema)
+    return part.groupBy(key_col).agg(
+        F.sum("p_sum").alias(f"{value_col}_sum"),
+        F.max("p_max").alias(f"{value_col}_max"),
+        F.min("p_min").alias(f"{value_col}_min"),
+        F.sum("p_cnt").alias("n_points"),
+    )

@@ -179,3 +179,32 @@ def test_container_series_roundtrip(spark, pages_small):
     p_sizes = p.agg(F.sum("comp_bytes")).first()
     assert c_sizes[0] < p_sizes[0], (c_sizes[0], p_sizes[0])
     assert c_sizes[1] / c_sizes[0] > 2.0  # daily tier compresses now
+
+
+def test_query_encoded_container(spark, pages_small):
+    """Fused aggregate over container blobs == aggregate over raw tier."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sprintz_spark.operators import rollup as R
+    from sprintz_spark.operators.encode import (
+        encode_series_container,
+        query_encoded_container,
+    )
+
+    t1d = R.derive_series(pages_small, "1d")
+    cols = ["crawl_count", "byte_size_sum", "byte_size_max", "byte_size_min"]
+    enc = encode_series_container(t1d, key_cols=["url"], value_cols=cols)
+    got = (
+        query_encoded_container(enc, "byte_size_sum")
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    want = (
+        t1d.groupBy("url").agg(
+            F.sum("byte_size_sum").alias("byte_size_sum_sum"),
+            F.max("byte_size_sum").alias("byte_size_sum_max"),
+            F.min("byte_size_sum").alias("byte_size_sum_min"),
+            F.count(F.lit(1)).alias("n_points"),
+        ).toPandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
