@@ -83,7 +83,7 @@ def run_retention(
     n_buckets: int = 8,
     chunk_rows: int = DEFAULT_CHUNK,
     salted: bool = False,
-    container_tiers: tuple[str, ...] = ("1d",),
+    container_tiers: tuple[str, ...] = ("1m", "1h", "1d"),
 ) -> dict:
     """Execute the cascade; returns {tier: {parts_written, skipped, ...}}.
 
@@ -115,9 +115,11 @@ def run_retention(
         pending = _pending_parts(spark, out_dir, tier, snapshot_id, n_buckets)
         enc_path = os.path.join(out_dir, f"snap={snapshot_id}", f"encoded_tier={tier}")
         if pending:
-            # coarse tiers have tiny per-url series (1-3 daily points in a
-            # short snapshot); the multi-series container amortizes blob
-            # framing across all series of a partition
+            # the multi-series container amortizes blob framing across all
+            # series of a partition AND gives the deflate post-pass
+            # cross-series redundancy (measured: 1m 4.8->7.7x, 1h
+            # 4.9->8.8x, 1d 1.7->4.7x). Pass container_tiers=() for
+            # per-series rows when the store must serve single-url reads.
             encoder = (
                 encode_series_container if tier in container_tiers else encode_series
             )
