@@ -713,9 +713,10 @@ def encode_container(
     values: np.ndarray, lengths: np.ndarray, mode: str = "delta", deflate: bool = True
 ) -> bytes:
     """Encode many series (concatenated ``values`` cut by ``lengths``) of
-    one column into ONE blob. mode: 'delta' | 'doubledelta'."""
-    if mode not in ("delta", "doubledelta"):
-        raise ValueError("container supports delta/doubledelta")
+    one column into ONE blob. mode: 'delta' | 'doubledelta' | 'auto'
+    ('auto' cost-selects by summed block bitwidths before packing)."""
+    if mode not in ("delta", "doubledelta", "auto"):
+        raise ValueError("container supports delta/doubledelta/auto")
     values = np.asarray(values)
     if values.dtype.kind not in "iu":
         raise TypeError(f"encode_container takes integer arrays, got {values.dtype}")
@@ -737,7 +738,14 @@ def encode_container(
     if len(u):
         x0s[nonempty] = u[s_idx]
         gaps[nonempty] = u[s_idx + 1] - u[s_idx]
-    if mode == "doubledelta":
+
+    def _z_delta():
+        z = zigzag.encode(d1.view(_SIGNED[w]))
+        if len(u):
+            z[s_idx] = 0
+        return z
+
+    def _z_dd():
         d2 = np.empty_like(d1)
         if len(u):
             d2[0] = d1[0]
@@ -749,11 +757,25 @@ def encode_container(
             z[s_idx] = 0
             z[s_idx + 1] = 0
             z[_pad_positions(ns, pads, dst_starts)] = 0
+        return z
+
+    if mode == "auto":
+        z1, z2 = _z_delta(), _z_dd()
+        nb1 = bitpack.block_nbits(z1, BLOCK) if len(u) else np.zeros(0, np.uint8)
+        nb2 = bitpack.block_nbits(z2, BLOCK) if len(u) else np.zeros(0, np.uint8)
+        # dd pays an extra varint per series for d1; compare payload+firsts
+        cost1 = int(nb1.astype(np.int64).sum())
+        cost2 = int(nb2.astype(np.int64).sum()) + len(ns)
+        if cost2 < cost1:
+            mode, z, nb = "doubledelta", z2, nb2
+        else:
+            mode, z, nb = "delta", z1, nb1
+    elif mode == "doubledelta":
+        z = _z_dd()
+        nb = bitpack.block_nbits(z, BLOCK) if len(u) else np.zeros(0, np.uint8)
     else:
-        z = zigzag.encode(d1.view(_SIGNED[w]))
-        if len(u):
-            z[s_idx] = 0
-    nb = bitpack.block_nbits(z, BLOCK) if len(u) else np.zeros(0, np.uint8)
+        z = _z_delta()
+        nb = bitpack.block_nbits(z, BLOCK) if len(u) else np.zeros(0, np.uint8)
     payload = (bitpack.pack_blocks(z, nb, BLOCK) if len(u) else b"").rstrip(b"\x00")
     head = bytearray([MAGIC_CONTAINER, (MODES[mode] << 5) | (_W_CODE[w] << 3)])
     head += _uvarint(len(ns))

@@ -554,11 +554,9 @@ def encode_series_container(
                 vals = pdf[c].to_numpy()[lo:hi]
                 if vals.dtype != np.int64:
                     vals = vals.astype(np.int64)
-                b1 = sz.encode_container(vals, lens_c, "delta")
-                b2 = sz.encode_container(vals, lens_c, "doubledelta")
-                blob, mode = (b1, "delta") if len(b1) <= len(b2) else (b2, "doubledelta")
+                blob = sz.encode_container(vals, lens_c, "auto")
+                metas[c] = {"codec": "sprintz-container", "np_dtype": "int64"}
                 rec[f"blob_{c}"] = blob
-                metas[c] = {"codec": "sprintz-container", "mode": mode, "np_dtype": "int64"}
                 raw += total * 8
                 comp += len(blob)
             rec["meta"] = json.dumps(metas)
