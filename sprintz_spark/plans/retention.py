@@ -196,3 +196,19 @@ def read_tier_decoded(
     if "keys" in enc.columns:  # container format
         return decode_series_container(enc, key_cols=["url"], value_cols=MEASURES)
     return decode_series(enc, key_cols=["url"], value_cols=MEASURES)
+
+
+def query_tier(
+    spark: SparkSession, out_dir: str, snapshot_id: str, tier: str, value_col: str
+) -> DataFrame:
+    """Per-url sum/max/min/count of a measure straight from the encoded
+    tier store — query-on-compressed dispatching on the stored format;
+    never materializes the decoded tier."""
+    from sprintz_spark.operators.encode import query_encoded, query_encoded_container
+
+    enc = spark.read.parquet(
+        os.path.join(out_dir, f"snap={snapshot_id}", f"encoded_tier={tier}")
+    )
+    if "keys" in enc.columns:
+        return query_encoded_container(enc, value_col, key_col="url")
+    return query_encoded(enc, value_col, key_cols=["url"])

@@ -65,3 +65,30 @@ def test_retention_run_and_resume(spark, pages_small, tmp_path):
     ratios = RT.tier_ratio_report(spark, out2, "snapA")
     assert set(ratios) == {"1m", "1h", "1d"}
     assert all(v["rows"] > 0 and v["ratio"] > 0 for v in ratios.values())
+
+
+def test_query_tier_from_store(spark, pages_small, tmp_path):
+    """query_tier answers per-url aggregates from the encoded store
+    (container format) equal to aggregating the raw tier."""
+    import pandas as pd
+
+    from sprintz_spark.operators import rollup as R
+
+    out = str(tmp_path / "retq")
+    RT.run_retention(pages_small, out, snapshot_id="snapQ", n_buckets=4)
+    got = (
+        RT.query_tier(spark, out, "snapQ", "1h", "byte_size_sum")
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    want = (
+        R.derive_series(pages_small, "1h")
+        .groupBy("url")
+        .agg(
+            F.sum("byte_size_sum").alias("byte_size_sum_sum"),
+            F.max("byte_size_sum").alias("byte_size_sum_max"),
+            F.min("byte_size_sum").alias("byte_size_sum_min"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
