@@ -116,6 +116,26 @@ def run_pipeline(spark, n_rows: int) -> dict:
         out["fused_rows"] = n_big
         out["fused_fire_rows_per_sec"] = round(n_big / fw, 1)
         out["fused_encode_verify_rows_per_sec"] = round(n_big / vw, 1)
+        # decode-only throughput (the reference's headline is decompression
+        # speed): encoded tiers written once, decode best-of-2 from parquet
+        from pyspark.sql import functions as F
+
+        from sprintz_spark.plans.jobs import decode_fused_tier
+
+        enc_path = os.path.join(tmp, "enc")
+        fused_rollup_encode(big, codec="fire").write.parquet(enc_path)
+        enc = spark.read.parquet(enc_path)
+        n_points = enc.agg(F.sum("n")).first()[0]
+        dw = float("inf")
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            for tier in ("1m", "1h", "1d"):
+                decode_fused_tier(enc, tier).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            dw = min(dw, time.perf_counter() - t0)
+        out["decoded_points"] = int(n_points)
+        out["decode_points_per_sec"] = round(n_points / dw, 1)
         return out
 
 
