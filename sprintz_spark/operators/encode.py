@@ -231,6 +231,7 @@ def _enc_schema(key_cols: list[str], value_cols: list[str], key_types) -> Struct
     fields += [
         StructField("chunk", LongType()),
         StructField("start_bucket", TimestampType()),
+        StructField("end_bucket", TimestampType()),
         StructField("n", LongType()),
         StructField("ts_blob", BinaryType()),
         StructField("meta", StringType()),
@@ -353,6 +354,7 @@ def encode_series(
         )
         out["chunk"] = piece_ord
         out["start_bucket"] = ts_np[piece_starts]
+        out["end_bucket"] = ts_np[piece_starts + piece_lens - 1]
         out["n"] = piece_lens
         out["ts_blob"] = ts_blobs
         ts_meta = {"ts": {"codec": "sprintz", "mode": "doubledelta"}}
@@ -504,6 +506,7 @@ def encode_series_container(
         StructField("n_series", LongType()),
         StructField("keys", ArrayType(key_t)),
         StructField("start_bucket", TimestampType()),
+        StructField("end_bucket", TimestampType()),
         StructField("n", LongType()),
         StructField("ts_blob", BinaryType()),
         StructField("meta", StringType()),
@@ -546,6 +549,7 @@ def encode_series_container(
                 "n_series": int(sel.sum()),
                 "keys": karr[s_starts[sel]].tolist(),
                 "start_bucket": ts_np[lo],
+                "end_bucket": ts_np[lo:hi].max(),
                 "n": total,
                 "ts_blob": ts_blob,
             }

@@ -54,6 +54,7 @@ _SCHEMA = StructType(
         StructField("url", StringType()),
         StructField("chunk", LongType()),
         StructField("start_bucket", TimestampType()),
+        StructField("end_bucket", TimestampType()),
         StructField("n", LongType()),
         StructField("ts_blob", BinaryType()),
         StructField("meta", StringType()),
@@ -203,6 +204,7 @@ def fused_rollup_encode(
                     "url": g_url[p_starts],
                     "chunk": p_ord,
                     "start_bucket": g_bucket[p_starts].view("datetime64[us]"),
+                    "end_bucket": g_bucket[p_starts + p_lens - 1].view("datetime64[us]"),
                     "n": p_lens,
                     "ts_blob": ts_blobs,
                 }

@@ -212,3 +212,25 @@ def query_tier(
     if "keys" in enc.columns:
         return query_encoded_container(enc, value_col, key_col="url")
     return query_encoded(enc, value_col, key_cols=["url"])
+
+
+def read_tier_range(
+    spark: SparkSession,
+    out_dir: str,
+    snapshot_id: str,
+    tier: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Decoded tier rows restricted to [lo, hi]: blobs whose
+    [start_bucket, end_bucket] window misses the range are pruned at the
+    parquet scan (column min/max stats — no decode, no read of the blob
+    bytes), then exact row filtering happens after decode."""
+    enc = spark.read.parquet(
+        os.path.join(out_dir, f"snap={snapshot_id}", f"encoded_tier={tier}")
+    ).where((F.col("start_bucket") <= F.lit(hi)) & (F.col("end_bucket") >= F.lit(lo)))
+    if "keys" in enc.columns:
+        dec = decode_series_container(enc, key_cols=["url"], value_cols=MEASURES)
+    else:
+        dec = decode_series(enc, key_cols=["url"], value_cols=MEASURES)
+    return dec.where((F.col("bucket") >= F.lit(lo)) & (F.col("bucket") <= F.lit(hi)))

@@ -92,3 +92,38 @@ def test_query_tier_from_store(spark, pages_small, tmp_path):
         .toPandas().sort_values("url").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_read_tier_range_prunes_and_matches(spark, pages_small, tmp_path):
+    """Time-range reads: blob-level pruning on [start_bucket, end_bucket]
+    + exact post-decode filter equals filtering the raw tier."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from sprintz_spark.operators import rollup as R
+
+    out = str(tmp_path / "retr")
+    RT.run_retention(pages_small, out, snapshot_id="snapR", n_buckets=4)
+    t = R.derive_series(pages_small, "1h").toPandas()
+    lo = t["bucket"].quantile(0.3).to_pydatetime()
+    hi = t["bucket"].quantile(0.6).to_pydatetime()
+    got = (
+        RT.read_tier_range(spark, out, "snapR", "1h", lo, hi)
+        .toPandas().sort_values(["url", "bucket"]).reset_index(drop=True)
+    )
+    want = (
+        t[(t["bucket"] >= lo) & (t["bucket"] <= hi)]
+        .sort_values(["url", "bucket"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    # the predicate reaches the parquet scan (stats-based row-group skip)
+    enc = spark.read.parquet(out + "/snap=snapR/encoded_tier=1h").where(
+        (F.col("start_bucket") <= F.lit(hi)) & (F.col("end_bucket") >= F.lit(lo))
+    )
+    import io as sio, contextlib
+    buf = sio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        enc.explain("simple")
+    assert "PushedFilters: [" in buf.getvalue()
+    assert "LessThanOrEqual(start_bucket" in buf.getvalue()
