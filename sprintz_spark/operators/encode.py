@@ -17,6 +17,11 @@ python/codec.py:439-535) onto Spark:
     compressed, cpp/Compress/query.hpp) — mapInPandas emits per-chunk
     partials straight from the blobs, Catalyst's partial+final aggregate
     combines. Never materializes the decoded table.
+  * ``encode_series_container``/``decode_series_container``/
+    ``query_encoded_container``: the multi-series 'C' format — one blob
+    per (partition, column) holding ALL series of the slice, so output
+    rows/files are O(partitions) not O(keys) and tiny series cost a few
+    bytes each. The retention tier store uses this by default.
 
 Scale notes: group state is O(chunk) not O(series); chunk_rows bounds
 executor memory; a year of 1-minute buckets per url is ~525k rows → a few

@@ -225,6 +225,28 @@ FROM events GROUP BY user_id
 """
 
 
+def q_container_roundtrip(spark, sf_dir):
+    """Multi-series container format ('C'): all of a partition's series in
+    one blob per column. Decoded aggregates must equal raw SQL — the same
+    losslessness gate as sprintz_roundtrip, for the container wire path."""
+    from sprintz_spark.operators.encode import (
+        decode_series_container,
+        encode_series_container,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("bucket"), _cents().alias("cents")
+    )
+    enc = encode_series_container(ev, key_cols=["user_id"], value_cols=["cents"])
+    dec = decode_series_container(enc, key_cols=["user_id"], value_cols=["cents"])
+    return dec.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("cents").alias("cents_sum"),
+        F.min("bucket").alias("ts_min"),
+        F.max("bucket").alias("ts_max"),
+    )
+
+
 def q_query_on_compressed(spark, sf_dir):
     """Aggregates computed from compressed blobs (fused decode+aggregate,
     no materialization) — the reference's REDUCE_SUM/REDUCE_MAX path."""
@@ -689,6 +711,7 @@ def queries() -> dict:
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "topk_heavy_users": q_topk_heavy_users,
         "sprintz_roundtrip": q_sprintz_roundtrip,
+        "container_roundtrip": q_container_roundtrip,
         "query_on_compressed": q_query_on_compressed,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "quantize_roundtrip": q_quantize_roundtrip,
@@ -722,6 +745,7 @@ def oracles() -> dict:
         "gapfill_linear_1h": _GAPFILL_LINEAR_SQL,
         "topk_heavy_users": _TOPK_SQL,
         "sprintz_roundtrip": _ROUNDTRIP_SQL,
+        "container_roundtrip": _ROUNDTRIP_SQL,
         "query_on_compressed": _QOC_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,
         "quantize_roundtrip": _QUANTIZE_SQL,
