@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "gapfill_linear_1h",
     "topk_heavy_users",
     "sprintz_roundtrip",
+    "container_roundtrip",
     "query_on_compressed",
     "gorilla_roundtrip",
     "quantize_roundtrip",
