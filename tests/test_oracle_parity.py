@@ -67,3 +67,10 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.limit(5).collect()
     assert df.schema is not None and len(rows) > 0
+
+
+def test_contract_key_consistency():
+    """Every oracle_sql key must name a queries() entry (a dangling oracle
+    would silently never be checked by the driver)."""
+    dangling = set(ORACLES) - set(QUERIES)
+    assert not dangling, dangling
