@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 
 def _cosine(vec_col, q_col):
@@ -115,6 +115,103 @@ def ivf_topk(
     w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         joined.select(q_id_col, id_col, F.round(sim, 6).alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
+# --- k-means IVF (FAISS-style coarse quantizer) -----------------------------
+
+def kmeans_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train IVF centroids with Lloyd iterations on a deterministic sample
+    (FAISS practice: the coarse quantizer trains on a bounded sample, not
+    the corpus — driver-side numpy on <= ``sample`` vectors is exact at any
+    corpus scale)."""
+    rows = (
+        emb.orderBy(id_col).limit(sample).select(vec_col).collect()
+    )
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            sel = assign == c
+            if sel.any():
+                cents[c] = x[sel].mean(axis=0)
+    return cents
+
+
+def kmeans_ivf_index(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast centroids,
+    one vectorized argmin per Arrow batch)."""
+    cents = centroids
+
+    @F.pandas_udf(IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return emb.withColumn("cell", cell(F.col(vec_col)))
+
+
+def kmeans_ivf_topk(
+    indexed: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest cells, exact
+    cosine rerank inside them. ``nprobe >= len(centroids)`` degenerates to
+    exact brute force (used by the oracle-gated query); smaller nprobe
+    trades recall for scanning only ~nprobe/k of the corpus."""
+    cents = centroids
+    spark = indexed.sparkSession
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, : min(nprobe, len(cents))]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    q = queries.withColumn("_cells", probe_cells(F.col(q_vec_col))).select(
+        q_id_col, q_vec_col, F.explode("_cells").alias("cell")
+    )
+    cand = indexed.join(F.broadcast(q), on="cell")
+    to_d = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(to_d(vec_col), to_d(q_vec_col), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(to_d(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    sim = (dot / (norm(vec_col) * norm(q_vec_col))).alias("sim")
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cand.select(q_id_col, id_col, sim)
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )

@@ -594,6 +594,27 @@ SELECT vec_id FROM (
 
 # --- as-of join (point-in-time) --------------------------------------------
 
+def q_ivf_kmeans_topk(spark, sf_dir):
+    """k-means IVF (FAISS-style coarse quantizer): Lloyd-trained centroids,
+    nearest-cell assignment, nprobe-cell search + exact rerank. Probing
+    every cell degenerates to exact search, so the brute-force SQL oracle
+    gates the whole IVF machinery; ivf_topk covers the approximate path."""
+    from sprintz_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_ivf_index,
+        kmeans_ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, sample=1024, iters=5)
+    indexed = kmeans_ivf_index(emb.where(F.col("vec_id") != 0), cents)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = kmeans_ivf_topk(indexed, q, cents, k=10, nprobe=len(cents))
+    return top.select("vec_id")
+
+
 def q_asof_join(spark, sf_dir):
     """For each purchase event, the user's most recent click cents at or
     before the purchase time (classic point-in-time join)."""
@@ -725,6 +746,7 @@ def queries() -> dict:
         "token_stats": q_token_stats,
         "exact_dup_docs": q_exact_dup_docs,
         "ann_topk": q_ann_topk,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "asof_join": q_asof_join,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_buckets": q_simhash_buckets,
@@ -757,6 +779,7 @@ def oracles() -> dict:
         "token_stats": _TOKEN_STATS_SQL,
         "exact_dup_docs": _EXACT_DUP_SQL,
         "ann_topk": _ANN_SQL,
+        "ivf_kmeans_topk": _ANN_SQL,
         "asof_join": _ASOF_SQL,
         # rows-only (no SQL equivalent): minhash_near_dup, simhash_buckets,
         # lang_quality, ngram_jaccard_verified, embedding_near_dup,
