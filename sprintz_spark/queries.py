@@ -94,7 +94,7 @@ def q_rollup_1d_salted(spark, sf_dir):
 _ROLLUP_SQL = """
 SELECT user_id, date_trunc('{unit}', ts) AS bucket,
        count(*) AS n_events,
-       sum({cents}) AS cents_sum,
+       CAST(sum({cents}) AS BIGINT) AS cents_sum,
        max({cents}) AS cents_max,
        min({cents}) AS cents_min
 FROM events GROUP BY 1, 2
@@ -128,7 +128,8 @@ def q_gapfill_linear_1h(spark, sf_dir):
 
 _GAPFILL_BASE_SQL = f"""
 WITH b AS (
-  SELECT user_id, date_trunc('hour', ts) AS bucket, sum({_CENTS_SQL}) AS v
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         CAST(sum({_CENTS_SQL}) AS BIGINT) AS v
   FROM events GROUP BY 1, 2
 ), ext AS (
   SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1
@@ -219,7 +220,8 @@ def q_sprintz_roundtrip(spark, sf_dir):
 
 
 _ROUNDTRIP_SQL = f"""
-SELECT user_id, count(*) AS n_points, sum({_CENTS_SQL}) AS cents_sum,
+SELECT user_id, count(*) AS n_points,
+       CAST(sum({_CENTS_SQL}) AS BIGINT) AS cents_sum,
        min(ts) AS ts_min, max(ts) AS ts_max
 FROM events GROUP BY user_id
 """
@@ -260,7 +262,8 @@ def q_query_on_compressed(spark, sf_dir):
 
 
 _QOC_SQL = f"""
-SELECT user_id, sum({_CENTS_SQL}) AS cents_sum, max({_CENTS_SQL}) AS cents_max,
+SELECT user_id, CAST(sum({_CENTS_SQL}) AS BIGINT) AS cents_sum,
+       max({_CENTS_SQL}) AS cents_max,
        min({_CENTS_SQL}) AS cents_min, count(*) AS n_points
 FROM events GROUP BY user_id
 """
@@ -288,7 +291,8 @@ def q_gorilla_roundtrip(spark, sf_dir):
 
 
 _GORILLA_SQL = f"""
-SELECT user_id, count(*) AS n_points, sum({_CENTS_SQL}) AS cents_sum
+SELECT user_id, count(*) AS n_points,
+       CAST(sum({_CENTS_SQL}) AS BIGINT) AS cents_sum
 FROM events GROUP BY user_id
 """
 
@@ -316,8 +320,9 @@ def q_quantize_roundtrip(spark, sf_dir):
 
 
 _QUANTIZE_SQL = f"""
-SELECT user_id, count(*) AS n_points, sum({_CENTS_SQL}) AS cents_sum,
-       sum(CASE WHEN value % 1.0 = 0.0 THEN 1 ELSE 0 END) AS n_whole
+SELECT user_id, count(*) AS n_points,
+       CAST(sum({_CENTS_SQL}) AS BIGINT) AS cents_sum,
+       CAST(sum(CASE WHEN value % 1.0 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole
 FROM events GROUP BY user_id
 """
 
@@ -349,7 +354,8 @@ def q_colsum_predictor(spark, sf_dir):
 
 
 _COLSUM_SQL = f"""
-SELECT user_id, count(*) AS n_buckets, sum(mn) AS min_sum, sum(mx) AS max_sum
+SELECT user_id, count(*) AS n_buckets,
+       CAST(sum(mn) AS BIGINT) AS min_sum, CAST(sum(mx) AS BIGINT) AS max_sum
 FROM (
   SELECT user_id, date_trunc('minute', ts) AS bucket,
          min({_CENTS_SQL}) AS mn, max({_CENTS_SQL}) AS mx
@@ -403,7 +409,7 @@ def q_rollup_grouping_sets(spark, sf_dir):
 
 _GROUPING_SQL = """
 SELECT COALESCE(lang, '(all)') AS lang, COALESCE(source, '(all)') AS source,
-       count(*) AS n_docs, sum(n_chars) AS chars_sum
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum
 FROM documents GROUP BY ROLLUP (lang, source)
 """
 
@@ -464,14 +470,16 @@ def q_text_extract_verified(spark, sf_dir):
 # --- TPC-H-style relational aggregate (decimal-exact) ---------------------
 
 def q_pricing_summary(spark, sf_dir):
+    # money as integer cents (BIGINT on both engines) so the sums are
+    # order-independent and dtype-identical across Spark and DuckDB
     li = _t(spark, sf_dir, "lineitem")
-    d = lambda c: F.col(c).cast("decimal(18,2)")
+    c = lambda col: F.round(F.col(col) * 100, 0).cast("long")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(d("l_quantity")).alias("sum_qty"),
-            F.sum(d("l_extendedprice")).alias("sum_base_price"),
+            F.sum(c("l_quantity")).alias("sum_qty_cents"),
+            F.sum(c("l_extendedprice")).alias("sum_base_price_cents"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -479,8 +487,8 @@ def q_pricing_summary(spark, sf_dir):
 
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       CAST(sum(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -527,8 +535,8 @@ def q_token_stats(spark, sf_dir):
 
 _TOKEN_STATS_SQL = """
 SELECT lang, source, count(*) AS n_docs,
-       sum(len(string_split(trim(text), ' '))) AS tokens_ws,
-       sum(n_chars) AS chars_sum
+       CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens_ws,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
 FROM documents GROUP BY lang, source
 """
 
