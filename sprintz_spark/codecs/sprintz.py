@@ -649,28 +649,235 @@ def encode_batch(
     return encode_batch_concat(values, lengths, mode)
 
 
-def query_compressed(buf: bytes, op: str) -> np.ndarray | int:
-    """Fused decode+aggregate without materializing a table — the analog of
-    the reference's query-on-compressed path (reference:
-    cpp/Compress/query.hpp:22-296, sprintz_delta_rle_query.hpp:272-311).
+_I64_MIN = np.iinfo(np.int64).min
+_I64_MAX = np.iinfo(np.int64).max
 
-    op in {'max', 'min', 'sum', 'count'}. Zero-width (RLE) blocks never
-    touch payload bytes; for delta modes their samples are reconstructed by
-    cumsum of zero residuals, i.e. runs contribute value*run_length to sums
-    with no bit unpacking, matching the reference's run fast path.
-    Values are interpreted as unsigned (the engine's counters/sizes are
-    non-negative).
+
+def _run_partials_i64(
+    nbits: np.ndarray,
+    payload: bytes,
+    ns: np.ndarray,
+    x0s: np.ndarray,
+    d1s: np.ndarray,
+    mode: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-series (sum, max, min) from block headers WITHOUT unpacking
+    zero-width blocks — the RLE-run fast path (reference:
+    cpp/Compress/query.hpp:77-136 aggregates runs as func(v, prev, prev,
+    ncopies); sprintz_delta_rle_query.hpp:272-311).
+
+    Series are block-aligned (every encoder pads each series to a BLOCK
+    multiple), so a series occupies whole blocks. Zero-width blocks carry
+    no payload bytes at all; under delta they are constant runs
+    (sum += value * run_len, one compare for max/min) and under
+    doubledelta affine ramps (closed-form arithmetic-series sum, extremes
+    at the endpoints). Only nonzero blocks are bit-unpacked. Cost is
+    O(nonzero blocks + total blocks), not O(n).
+
+    64-bit only: int64 wraparound arithmetic is bit-identical to the
+    decoder's modular unsigned cumsum, so results match decode+aggregate
+    exactly (the same element-width wraparound the reference's C kernels
+    assume).
+
+    ``ns``: true series lengths; ``x0s``: absolute first values (0 for
+    in-stream-firsts blobs where the stream embeds x0); ``d1s``: first
+    gaps for doubledelta out-of-band-firsts series (0 otherwise).
     """
-    mode, w, n, pad, extra, nbits, payload, _firsts = _parse(buf)
-    if op == "count":
-        return n
+    ns = np.asarray(ns, np.int64)
+    n_series = len(ns)
+    pads = (-ns) % BLOCK
+    plens = ns + pads
+    bps = plens // BLOCK  # blocks per series
+    nblocks = len(nbits)
+    b0 = _cumsum0(bps)[:-1]
+    has_blocks = bps > 0
+    sob = np.repeat(np.arange(n_series, dtype=np.int64), bps)  # series of block
+    b0rep = np.repeat(b0, bps)
+    nz = nbits > 0
+    z = bitpack.unpack_blocks(payload, nbits[nz], np.uint64, BLOCK)
+    e_nz = zigzag.decode(z).view(np.int64).reshape(-1, BLOCK)
+    c_nz = e_nz.cumsum(axis=1)  # within-block cumsum of residuals
+    S1 = np.zeros(nblocks, np.int64)
+    if len(c_nz):
+        S1[nz] = c_nz[:, -1]
+    # valid samples per block: the final block of a padded series is short
+    vc = np.full(nblocks, BLOCK, np.int64)
+    short = has_blocks & (pads > 0)
+    vc[(b0 + bps - 1)[short]] = BLOCK - pads[short]
+    PS1 = np.cumsum(S1) - S1  # exclusive prefix of per-block residual sums
+    bsum = np.empty(nblocks, np.int64)
+    bmax = np.empty(nblocks, np.int64)
+    bmin = np.empty(nblocks, np.int64)
+    zb = ~nz
+    cols = np.arange(BLOCK, dtype=np.int64)[None, :]
+    if mode == "delta":
+        # x[j] = x0 + cumsum(e)[j]; value entering block b is constant
+        # across a zero block (the RLE constant run)
+        x_in = x0s[sob] + PS1 - PS1[b0rep]
+        bsum[zb] = vc[zb] * x_in[zb]
+        bmax[zb] = x_in[zb]
+        bmin[zb] = x_in[zb]
+        if nz.any():
+            xx = x_in[nz][:, None] + c_nz
+            m = cols < vc[nz][:, None]
+            bsum[nz] = np.where(m, xx, 0).sum(axis=1)
+            bmax[nz] = np.where(m, xx, _I64_MIN).max(axis=1)
+            bmin[nz] = np.where(m, xx, _I64_MAX).min(axis=1)
+    elif mode == "doubledelta":
+        # x = cumsum(cumsum(e)) + x0 + j*d1 (out-of-band firsts enter by
+        # linear superposition). Block carries: d_in = first-diff entering
+        # the block, X_in = value through the previous block.
+        d_in = PS1 - PS1[b0rep]
+        T = np.zeros(nblocks, np.int64)
+        if len(c_nz):
+            T[nz] = c_nz.sum(axis=1)
+        inc = BLOCK * d_in + T  # x-advance contributed by each block
+        PX = np.cumsum(inc) - inc
+        X_in = PX - PX[b0rep]
+        jb = (np.arange(nblocks, dtype=np.int64) - b0rep) * BLOCK
+        slope = d_in + d1s[sob]  # per-sample advance inside a zero block
+        v0 = X_in + d_in + x0s[sob] + jb * d1s[sob]  # value at block slot 0
+        vz, s0, m0 = vc[zb], v0[zb], slope[zb]
+        bsum[zb] = vz * s0 + m0 * (vz * (vz - 1) // 2)
+        hi = s0 + (vz - 1) * m0
+        bmax[zb] = np.maximum(s0, hi)
+        bmin[zb] = np.minimum(s0, hi)
+        if nz.any():
+            C2 = c_nz.cumsum(axis=1)
+            xx = (
+                X_in[nz][:, None]
+                + C2
+                + (cols + 1) * d_in[nz][:, None]
+                + x0s[sob[nz]][:, None]
+                + (jb[nz][:, None] + cols) * d1s[sob[nz]][:, None]
+            )
+            m = cols < vc[nz][:, None]
+            bsum[nz] = np.where(m, xx, 0).sum(axis=1)
+            bmax[nz] = np.where(m, xx, _I64_MIN).max(axis=1)
+            bmin[nz] = np.where(m, xx, _I64_MAX).min(axis=1)
+    else:  # pragma: no cover
+        raise ValueError(f"no run fast path for mode {mode}")
+    sums = np.zeros(n_series, np.int64)
+    maxs = np.full(n_series, _I64_MIN)
+    mins = np.full(n_series, _I64_MAX)
+    if has_blocks.any():
+        idx0 = b0[has_blocks]
+        sums[has_blocks] = np.add.reduceat(bsum, idx0)
+        maxs[has_blocks] = np.maximum.reduceat(bmax, idx0)
+        mins[has_blocks] = np.minimum.reduceat(bmin, idx0)
+    return sums, maxs, mins
+
+
+# Run fast path only when enough blocks are zero-width to pay for the
+# block-level bookkeeping; below this the plain vectorized cumsum decode
+# is faster (measured ~0.9x on run-free random walks, 4-10x on runs).
+_RUN_FRACTION_MIN = 0.10
+
+
+def _runs_worthwhile(nbits: np.ndarray) -> bool:
+    return len(nbits) > 0 and (nbits == 0).sum() >= _RUN_FRACTION_MIN * len(nbits)
+
+
+def _firsts_i64(firsts) -> tuple[int, int]:
+    """(x0, d1) as int64 reinterpretations of the stored 64-bit patterns;
+    (0, 0) for in-stream-firsts blobs."""
+    if firsts is None:
+        return 0, 0
+    x0 = int(np.uint64(firsts[0]).astype(np.int64))
+    d1 = int(np.uint64(firsts[1]).astype(np.int64)) if firsts[1] is not None else 0
+    return x0, d1
+
+
+def query_blob_partials(buf: bytes) -> tuple[int, int, int | None, int | None]:
+    """(count, sum, max, min) of one blob, int64 value semantics.
+
+    64-bit delta/doubledelta blobs take the RLE-run fast path
+    (_run_partials_i64): zero-width blocks never touch payload bytes and
+    aggregate in closed form. Other modes (fire/raw/dyndelta, narrow
+    widths) decode fully — their residuals aren't run-structured.
+    """
+    mode, w, n, pad, extra, nbits, payload, firsts = _parse(buf)
+    if n == 0:
+        return 0, 0, None, None
+    if w == 64 and mode in ("delta", "doubledelta") and _runs_worthwhile(nbits):
+        x0, d1 = _firsts_i64(firsts)
+        s, mx, mn = _run_partials_i64(
+            nbits,
+            _zero_extend(payload, nbits),
+            np.array([n], np.int64),
+            np.array([x0], np.int64),
+            np.array([d1], np.int64),
+            mode,
+        )
+        return n, int(s[0]), int(mx[0]), int(mn[0])
     vals = decode_column(buf).astype(np.int64)
-    if op == "max":
-        return int(vals.max()) if n else None
-    if op == "min":
-        return int(vals.min()) if n else None
+    return n, int(vals.sum()), int(vals.max()), int(vals.min())
+
+
+def query_batch_partials(
+    blobs: list[bytes],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(counts, sums, maxs, mins) across many blobs. Fast-path-eligible
+    blobs (64-bit delta/doubledelta) are concatenated per mode and share
+    ONE unpack + block-level pass; the rest fall back to decode_batch."""
+    n_b = len(blobs)
+    cnts = np.zeros(n_b, np.int64)
+    sums = np.zeros(n_b, np.int64)
+    maxs = np.full(n_b, _I64_MIN)
+    mins = np.full(n_b, _I64_MAX)
+    fast: dict[str, list] = {}
+    slow: list[int] = []
+    for i, buf in enumerate(blobs):
+        mode, w, n, pad, extra, nbits, payload, firsts = _parse(buf)
+        cnts[i] = n
+        if n == 0:
+            continue
+        if w == 64 and mode in ("delta", "doubledelta") and _runs_worthwhile(nbits):
+            x0, d1 = _firsts_i64(firsts)
+            fast.setdefault(mode, []).append(
+                (i, n, nbits, _zero_extend(payload, nbits), x0, d1)
+            )
+        else:
+            slow.append(i)
+    for mode, items in fast.items():
+        idx = np.array([it[0] for it in items], np.int64)
+        nn = np.array([it[1] for it in items], np.int64)
+        nb = np.concatenate([it[2] for it in items])
+        pl = b"".join(it[3] for it in items)
+        x0s = np.array([it[4] for it in items], np.int64)
+        d1s = np.array([it[5] for it in items], np.int64)
+        s, mx, mn = _run_partials_i64(nb, pl, nn, x0s, d1s, mode)
+        sums[idx], maxs[idx], mins[idx] = s, mx, mn
+    if slow:
+        for i, arr in zip(slow, decode_batch([blobs[i] for i in slow])):
+            v = arr.astype(np.int64)
+            sums[i], maxs[i], mins[i] = int(v.sum()), int(v.max()), int(v.min())
+    return cnts, sums, maxs, mins
+
+
+def query_compressed(buf: bytes, op: str) -> int | None:
+    """Fused aggregate over a compressed blob without materializing the
+    series — the analog of the reference's query-on-compressed path
+    (reference: cpp/Compress/query.hpp:22-296,
+    sprintz_delta_rle_query.hpp:272-311).
+
+    op in {'max', 'min', 'sum', 'count'}. 64-bit delta/doubledelta blobs
+    use the RLE-run fast path (see _run_partials_i64): zero-width blocks
+    contribute value*run_length to sums and one compare to max/min with
+    no bit unpacking; only nonzero blocks touch payload. Other modes
+    decode then aggregate. Values are int64 (wraparound-identical to the
+    decoder).
+    """
+    if op == "count":
+        mode, w, n, pad, extra, nbits, payload, _f = _parse(buf)
+        return n
+    n, s, mx, mn = query_blob_partials(buf)
     if op == "sum":
-        return int(vals.sum())
+        return s
+    if op == "max":
+        return mx
+    if op == "min":
+        return mn
     raise ValueError(f"unknown op {op}")
 
 
@@ -790,15 +997,15 @@ def encode_container(
     return _maybe_deflate(blob, deflate)
 
 
-def decode_container(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of encode_container: (values_concat, lengths)."""
+def _parse_container(buf: bytes):
+    """Container head parse shared by decode and the query fast path:
+    returns (mode, w, ns, x0s, gaps_or_None, nbits, payload)."""
     buf = _inflate(buf)
     assert buf[0] == MAGIC_CONTAINER, "bad container magic"
     packed = buf[1]
     mode = _MODE_NAMES[packed >> 5]
     w = _W_FROM_CODE[(packed >> 3) & 0x3]
     su = _UNSIGNED[w]
-    mask = (1 << w) - 1
     pos = 2
     n_series, pos = _read_uvarint(buf, pos)
     ns = np.empty(n_series, dtype=np.int64)
@@ -817,6 +1024,39 @@ def decode_container(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     nruns, pos = _read_uvarint(buf, pos)
     nbits, used = rle.decode_headers(nruns.to_bytes(4, "little") + buf[pos:])
     payload = _zero_extend(buf[pos + used - 4 :], nbits)
+    return mode, w, ns, x0s, gaps, nbits, payload
+
+
+def query_container_partials(
+    buf: bytes,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-series (counts, sums, maxs, mins) straight from a container blob.
+
+    Container series are individually block-padded, so each series owns
+    whole blocks and the RLE-run fast path applies per series: the tiny
+    constant-heavy daily-tier series aggregate from headers alone."""
+    mode, w, ns, x0s, gaps, nbits, payload = _parse_container(buf)
+    if w == 64 and mode in ("delta", "doubledelta") and _runs_worthwhile(nbits):
+        x0_i = x0s.view(np.int64)
+        d1_i = gaps.view(np.int64) if gaps is not None else np.zeros(len(ns), np.int64)
+        sums, maxs, mins = _run_partials_i64(nbits, payload, ns, x0_i, d1_i, mode)
+        return ns, sums, maxs, mins
+    vals, ns = decode_container(buf)  # narrow widths: no fast path
+    v = vals.astype(np.int64)
+    starts = _cumsum0(ns)[:-1]
+    return (
+        ns,
+        np.add.reduceat(v, starts),
+        np.maximum.reduceat(v, starts),
+        np.minimum.reduceat(v, starts),
+    )
+
+
+def decode_container(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_container: (values_concat, lengths)."""
+    mode, w, ns, x0s, gaps, nbits, payload = _parse_container(buf)
+    su = _UNSIGNED[w]
+    mask = (1 << w) - 1
     pads = (-ns) % BLOCK
     plens = ns + pads
     dst_starts = _cumsum0(plens)

@@ -451,14 +451,40 @@ def query_encoded(
             if not len(pdf):
                 continue
             metas = [json.loads(m)[value_col] for m in pdf["meta"]]
-            vals = decode_value_columns_batch(list(pdf[blob_col]), metas)
-            ns = np.fromiter((len(v) for v in vals), np.int64, len(vals))
-            flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in vals])
-            starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+            blobs = list(pdf[blob_col])
+            n_b = len(blobs)
+            sums = np.zeros(n_b, np.int64)
+            maxs = np.zeros(n_b, np.int64)
+            mins = np.zeros(n_b, np.int64)
+            ns = np.zeros(n_b, np.int64)
+            # plain int64 sprintz blobs (no value transform in meta) take
+            # the codec-level RLE-run fast path: zero-width blocks
+            # aggregate from headers with no payload unpack
+            plain = [
+                i
+                for i, m in enumerate(metas)
+                if m.get("codec") == "sprintz"
+                and m.get("np_dtype") == "int64"
+                and "qparams" not in m
+                and "offset" not in m
+            ]
+            if plain:
+                c, s, mx, mn = sz.query_batch_partials([blobs[i] for i in plain])
+                idx = np.array(plain, np.int64)
+                ns[idx], sums[idx], maxs[idx], mins[idx] = c, s, mx, mn
+            rest = [i for i in range(n_b) if i not in set(plain)]
+            if rest:
+                vals = decode_value_columns_batch(
+                    [blobs[i] for i in rest], [metas[i] for i in rest]
+                )
+                for i, v in zip(rest, vals):
+                    a = np.asarray(v, dtype=np.int64)
+                    ns[i] = len(a)
+                    sums[i], maxs[i], mins[i] = a.sum(), a.max(), a.min()
             out = pd.DataFrame({k: pdf[k].to_numpy() for k in key_cols})
-            out["p_sum"] = np.add.reduceat(flat, starts)
-            out["p_max"] = np.maximum.reduceat(flat, starts)
-            out["p_min"] = np.minimum.reduceat(flat, starts)
+            out["p_sum"] = sums
+            out["p_max"] = maxs
+            out["p_min"] = mins
             out["p_cnt"] = ns
             yield out[cols]
 
@@ -643,16 +669,16 @@ def query_encoded_container(
         for pdf in it:
             frames = []
             for keys, blob in zip(pdf["keys"], pdf[blob_col]):
-                vals, ns = sz.decode_container(blob)
-                v = vals.view(np.int64)
-                starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+                # RLE-run fast path: per-series partials from block headers
+                # (constant/affine runs never unpack payload)
+                ns, sums, maxs, mins = sz.query_container_partials(blob)
                 frames.append(
                     pd.DataFrame(
                         {
                             key_col: np.asarray(keys, dtype=object),
-                            "p_sum": np.add.reduceat(v, starts),
-                            "p_max": np.maximum.reduceat(v, starts),
-                            "p_min": np.minimum.reduceat(v, starts),
+                            "p_sum": sums,
+                            "p_max": maxs,
+                            "p_min": mins,
                             "p_cnt": ns,
                         }
                     )
