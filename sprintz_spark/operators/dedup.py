@@ -19,6 +19,7 @@ candidate set is small and AQE-skew-safe otherwise.
 
 from __future__ import annotations
 
+import logging
 import zlib
 
 import numpy as np
@@ -30,6 +31,44 @@ from pyspark.sql.types import ArrayType, IntegerType, LongType
 from sprintz_spark.functions.text import simhash64
 
 _MERSENNE = (1 << 61) - 1
+log = logging.getLogger(__name__)
+
+# Buckets larger than this are dropped from the LSH self-join: a degenerate
+# bucket (boilerplate/empty docs at web scale) otherwise goes quadratic in
+# rows AND bytes shuffled. Members of a dropped bucket are by definition
+# massively duplicated — exact_dedup (hash groupBy, linear) is the right
+# tool for them, so dropping loses only cross-bucket *near* (non-exact)
+# matches of those pathological docs.
+DEFAULT_MAX_BUCKET = 1000
+
+
+def _cap_buckets(
+    banded: DataFrame, max_bucket: int, op_name: str, log_dropped: bool
+) -> DataFrame:
+    """Drop (band, bucket) groups with more than ``max_bucket`` members.
+
+    The hot-bucket set is tiny by construction, so it broadcast-anti-joins
+    against the banded table; the drop count is logged (no silent caps)."""
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket)
+        .select("band", "bucket", "n")
+    )
+    if log_dropped:
+        hot = hot.cache()
+        dropped = hot.agg(
+            F.count(F.lit(1)).alias("buckets"), F.sum("n").alias("rows")
+        ).first()
+        if dropped["buckets"]:
+            log.warning(
+                "%s: dropped %d over-cap LSH buckets (%d rows, cap=%d); "
+                "route their members through exact_dedup",
+                op_name, dropped["buckets"], dropped["rows"], max_bucket,
+            )
+    return banded.join(
+        F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
+    )
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -95,18 +134,25 @@ def minhash_lsh_pairs(
     shingle: int = 3,
     min_est_jaccard: float = 0.4,
     seed: int = 42,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b, est_jaccard) via banded LSH.
 
     est_jaccard = fraction of matching minhash components — the unbiased
     Jaccard estimator; pairs must collide in >=1 band AND pass the
     estimate threshold.
+
+    Scale shape: the band self-join carries ONLY (band, bucket, id) — the
+    512 B signatures never cross that shuffle; they are re-attached by id
+    after pair dedup. Buckets over ``max_bucket`` members are dropped (and
+    logged) before the join, bounding the worst bucket at cap^2 instead of
+    letting one boilerplate bucket go quadratic over the corpus.
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle, seed).cache()
     banded = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.posexplode(
             F.array(
                 *[
@@ -116,6 +162,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    banded = _cap_buckets(banded, max_bucket, "minhash_lsh_pairs", log_dropped)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -128,10 +175,10 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        .join(sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -185,9 +232,14 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """SimHash near-dup candidates: 4x16-bit bands; pairs colliding in any
-    band are Hamming-verified. Returns (doc_a, doc_b, hamming)."""
+    band are Hamming-verified. Returns (doc_a, doc_b, hamming).
+
+    Same scale shape as minhash_lsh_pairs: id-only band join, over-cap
+    buckets dropped (logged), hashes re-attached by id afterwards."""
 
     @F.pandas_udf(LongType())
     def sh(texts: pd.Series) -> pd.Series:
@@ -198,7 +250,6 @@ def simhash_candidates(
     sigs = docs.select(F.col(id_col), sh(F.col(text_col)).alias("sh")).cache()
     bands = sigs.select(
         id_col,
-        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -208,6 +259,7 @@ def simhash_candidates(
             )
         ).alias("band", "bucket"),
     )
+    bands = _cap_buckets(bands, max_bucket, "simhash_candidates", log_dropped)
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
@@ -219,10 +271,10 @@ def simhash_candidates(
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        .join(sigs.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sigs.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
@@ -241,13 +293,17 @@ def embedding_near_dup(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 7,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Cosine near-dup pairs via signed-random-projection LSH, then exact
     cosine verification inside buckets.
 
     Standard multi-table LSH: ``n_tables`` independent sets of ``n_planes``
     hyperplanes; a pair is a candidate if it collides in ANY table
-    (recall ~= 1-(1-p^k)^L for collision prob p = 1 - acos(cos)/pi)."""
+    (recall ~= 1-(1-p^k)^L for collision prob p = 1 - acos(cos)/pi).
+    Id-only bucket join with an over-cap drop (logged); vectors are
+    re-attached by id for the exact-cosine verify."""
     dim_row = emb.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"]
     rng = np.random.default_rng(seed)
@@ -265,32 +321,40 @@ def embedding_near_dup(
             out[:, t] = code | (t << 24)  # table id in high bits
         return pd.Series(list(out))
 
-    b = emb.select(
+    vecs = emb.select(F.col(id_col), F.col(vec_col)).cache()
+    b = vecs.select(
         F.col(id_col),
-        F.col(vec_col),
-        F.explode(buckets(F.col(vec_col))).alias("bkt"),
+        F.lit(0).alias("band"),  # table id already lives in bkt's high bits
+        F.explode(buckets(F.col(vec_col))).alias("bucket"),
     )
+    b = _cap_buckets(b, max_bucket, "embedding_near_dup", log_dropped)
     l, r = b.alias("l"), b.alias("r")
-    to_d = lambda side: F.transform(F.col(f"{side}.{vec_col}"), lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(to_d("l"), to_d("r"), lambda a, c: a * c), F.lit(0.0), lambda a, x: a + x
-    )
-    nrm = lambda side: F.sqrt(
-        F.aggregate(F.transform(to_d(side), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    sim = dot / (nrm("l") * nrm("r"))
-    return (
+    pairs = (
         l.join(
             r,
-            (F.col("l.bkt") == F.col("r.bkt"))
+            (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.round(sim, 4).alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])  # pairs may collide in >1 table
+        .join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")), "id_b")
+    )
+    to_d = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(to_d("vec_a"), to_d("vec_b"), lambda a, c: a * c),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(F.transform(to_d(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    sim = dot / (nrm("vec_a") * nrm("vec_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 4).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
