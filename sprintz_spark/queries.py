@@ -674,13 +674,38 @@ def q_simhash_buckets(spark, sf_dir):
 
 
 def q_ngram_jaccard_verified(spark, sf_dir):
-    """MinHash-LSH candidates verified with exact n-gram Jaccard (rows-only:
-    the banding stage isn't SQL-expressible)."""
+    """Near-dup pairs with exact word-3-gram Jaccard >= 0.7, discovered via
+    MinHash-LSH pruning then exact-verified. The oracle brute-forces
+    all-pairs exact Jaccard in SQL, so equality gates BOTH the LSH recall
+    (no >=0.7 pair missed by banding at this corpus) and the verifier."""
     from sprintz_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_verify
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.3)
-    return ngram_jaccard_verify(docs, pairs)
+    return (
+        ngram_jaccard_verify(docs, pairs)
+        .where(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_NGRAM_JACCARD_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(words)-2, 1))]) AS grams
+  FROM w
+), j AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+               (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+               4) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.7
+"""
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -789,8 +814,9 @@ def oracles() -> dict:
         "ann_topk": _ANN_SQL,
         "ivf_kmeans_topk": _ANN_SQL,
         "asof_join": _ASOF_SQL,
+        "ngram_jaccard_verified": _NGRAM_JACCARD_SQL,
         # rows-only (no SQL equivalent): minhash_near_dup, simhash_buckets,
-        # lang_quality, ngram_jaccard_verified, embedding_near_dup,
+        # lang_quality, embedding_near_dup,
         # ivf_topk (approximate), image_features (fake decoder),
         # codec_search_stats (chosen mode is engine-internal),
         # text_extract_verified (pages are generator-derived)
