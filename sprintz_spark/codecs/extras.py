@@ -47,21 +47,83 @@ def byteshuffle_decode(shuffled: np.ndarray, dtype, n: int) -> np.ndarray:
 
 
 # --- cross-column predictor -------------------------------------------------
+#
+# Reference ColSumPredictor (codec.py:538-591): predictions = sum of the
+# predictor columns, each optionally FIR-filtered by its weight taps
+# (scipy.signal.correlate mode='same'; np.correlate is the identical 1-D
+# operation and scipy is absent in this environment). encode stores
+# target - predictions.astype(target.dtype); decode recomputes the same
+# predictions from the (read-only) predictor columns, so the round trip
+# is exact regardless of float weights.
 
-def colsum_residual(target: np.ndarray, predictors: list[np.ndarray]) -> np.ndarray:
-    """Residual of target vs the (unweighted) sum of predictor columns,
-    wraparound in the shared dtype."""
-    acc = np.zeros_like(target)
+
+def colsum_predictions(
+    predictors: list[np.ndarray],
+    weights: np.ndarray | None = None,
+    padding: str = "same",
+) -> np.ndarray:
+    """Weighted/FIR prediction stream. ``weights`` is (taps, n_predictors):
+    taps==1 is a plain per-column scalar weight; taps>1 cross-correlates
+    each predictor with its tap column. None = unweighted sum."""
+    if weights is not None:
+        weights = np.atleast_2d(np.asarray(weights, np.float64))
+        if weights.shape[1] != len(predictors):
+            raise ValueError(
+                f"weights has {weights.shape[1]} columns for {len(predictors)} predictors"
+            )
+    preds = None
+    for i, p in enumerate(predictors):
+        v = np.asarray(p)
+        if weights is not None:
+            v = np.correlate(v.astype(np.float64), weights[:, i], mode=padding)
+        preds = v.copy() if preds is None else preds + v
+    return preds
+
+
+def colsum_residual(
+    target: np.ndarray,
+    predictors: list[np.ndarray],
+    weights: np.ndarray | None = None,
+    padding: str = "same",
+) -> np.ndarray:
+    """Residual of target vs the (optionally weighted/FIR) predictor sum,
+    wraparound in the target dtype."""
+    pred = colsum_predictions(predictors, weights, padding)
+    return target - pred.astype(target.dtype)
+
+
+def colsum_restore(
+    residual: np.ndarray,
+    predictors: list[np.ndarray],
+    weights: np.ndarray | None = None,
+    padding: str = "same",
+) -> np.ndarray:
+    pred = colsum_predictions(predictors, weights, padding)
+    return residual + pred.astype(residual.dtype)
+
+
+def train_colsum_weights(
+    target: np.ndarray, predictors: list[np.ndarray], taps: int = 1
+) -> np.ndarray:
+    """Least-squares weight fit (taps, n_predictors) on a bounded sample —
+    the regression the reference leaves as TODO (codec.py:545). For
+    taps > 1, each predictor contributes ``taps`` lagged copies centered
+    like correlate(mode='same')."""
+    t = np.asarray(target, np.float64)
+    n = len(t)
+    cols = []
+    half = taps // 2
     for p in predictors:
-        acc = acc + p.astype(target.dtype, copy=False)
-    return target - acc
-
-
-def colsum_restore(residual: np.ndarray, predictors: list[np.ndarray]) -> np.ndarray:
-    acc = np.zeros_like(residual)
-    for p in predictors:
-        acc = acc + p.astype(residual.dtype, copy=False)
-    return residual + acc
+        v = np.asarray(p, np.float64)
+        for k in range(taps):
+            # correlate(v, w, 'same')[j] = sum_k v[j + k - half] * w[k]
+            shifted = np.zeros(n)
+            lo, hi = max(0, half - k), min(n, n + half - k)
+            shifted[lo:hi] = v[lo + k - half : hi + k - half]
+            cols.append(shifted)
+    A = np.stack(cols, axis=1)
+    w, *_ = np.linalg.lstsq(A, t, rcond=None)
+    return w.reshape(len(predictors), taps).T  # (taps, n_predictors)
 
 
 # --- byte-stream codecs -----------------------------------------------------

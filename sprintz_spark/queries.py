@@ -364,6 +364,43 @@ FROM (
 """
 
 
+def q_colsum_weighted(spark, sf_dir):
+    """Weighted ColSumPredictor (reference python/codec.py:538-591 weights
+    path, plus the regression the reference leaves as TODO at :545): fit a
+    scalar weight by least squares on a deterministic sample, store
+    cents_max as its residual against trunc(w * cents_min) — the same
+    predictions.astype(target.dtype) truncation the reference applies —
+    sprintz-encode predictor+residual, decode, restore, aggregate.
+    Equality with the raw-SQL oracle proves the weighted round trip."""
+    from sprintz_spark.codecs.extras import train_colsum_weights
+    from sprintz_spark.operators.encode import decode_series, encode_series
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("minute", "ts").alias("bucket"), _cents().alias("cents"))
+        .groupBy("user_id", "bucket")
+        .agg(F.min("cents").alias("cents_min"), F.max("cents").alias("cents_max"))
+    )
+    samp = ev.orderBy("user_id", "bucket").limit(4096).toPandas()
+    w = float(
+        train_colsum_weights(
+            samp["cents_max"].to_numpy(), [samp["cents_min"].to_numpy()], taps=1
+        )[0, 0]
+    )
+    pred = (F.col("cents_min") * F.lit(w)).cast("long")  # trunc-to-zero == astype
+    staged = ev.withColumn("resid", F.col("cents_max") - pred).drop("cents_max")
+    enc = encode_series(staged, key_cols=["user_id"], value_cols=["cents_min", "resid"])
+    dec = decode_series(enc, key_cols=["user_id"], value_cols=["cents_min", "resid"])
+    restored = dec.withColumn(
+        "cents_max", F.col("resid") + (F.col("cents_min") * F.lit(w)).cast("long")
+    )
+    return restored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("cents_min").alias("min_sum"),
+        F.sum("cents_max").alias("max_sum"),
+    )
+
+
 def q_codec_search_stats(spark, sf_dir):
     """Cost-based per-chunk codec selection (reference CodecSearch,
     python/codec.py:439-535) surfaced as data: which mode won per chunk.
@@ -770,6 +807,7 @@ def queries() -> dict:
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "quantize_roundtrip": q_quantize_roundtrip,
         "colsum_predictor": q_colsum_predictor,
+        "colsum_weighted": q_colsum_weighted,
         "codec_search_stats": q_codec_search_stats,
         "squeeze_report": q_squeeze_report,
         "rollup_grouping_sets": q_rollup_grouping_sets,
@@ -805,6 +843,7 @@ def oracles() -> dict:
         "gorilla_roundtrip": _GORILLA_SQL,
         "quantize_roundtrip": _QUANTIZE_SQL,
         "colsum_predictor": _COLSUM_SQL,
+        "colsum_weighted": _COLSUM_SQL,
         "squeeze_report": _SQUEEZE_SQL,
         "rollup_grouping_sets": _GROUPING_SQL,
         "pricing_summary": _PRICING_SQL,

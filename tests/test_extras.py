@@ -31,6 +31,41 @@ def test_colsum_predictor_roundtrip():
     np.testing.assert_array_equal(X.colsum_restore(resid, [a, b]), total)
 
 
+def test_colsum_weighted_roundtrip_exact():
+    """Round trip is exact for ANY weights: decode recomputes identical
+    predictions from the read-only predictor columns (reference
+    ColSumPredictor semantics, codec.py:538-591)."""
+    a = np.cumsum(rng.integers(-5, 6, 500)).astype(np.int64)
+    b = rng.integers(-50, 50, 500).astype(np.int64)
+    target = (3 * a + b + rng.integers(-2, 3, 500)).astype(np.int64)
+    for w in (None, np.array([[3.0, 1.0]]), np.array([[0.31, -1.7]]),
+              np.array([[1.0, 0.0], [2.0, 1.0], [-0.5, 0.3]])):  # 3-tap FIR
+        resid = X.colsum_residual(target, [a, b], w)
+        np.testing.assert_array_equal(X.colsum_restore(resid, [a, b], w), target)
+
+
+def test_colsum_fir_recovers_taps():
+    """lstsq trainer alignment matches np.correlate(mode='same') lags."""
+    base = np.cumsum(rng.integers(-5, 6, 3000)).astype(np.int64)
+    w_true = np.array([[2.0], [3.0], [-1.0]])
+    pred = np.correlate(base.astype(np.float64), w_true[:, 0], mode="same")
+    target = (pred + rng.integers(-2, 3, 3000)).astype(np.int64)
+    w_fit = X.train_colsum_weights(target, [base], taps=3)
+    np.testing.assert_allclose(w_fit, w_true, atol=0.05)
+    r_fit = X.colsum_residual(target, [base], w_fit)
+    r_none = X.colsum_residual(target, [base])
+    assert np.abs(r_fit).mean() < 0.01 * np.abs(r_none.astype(np.float64)).mean()
+
+
+def test_colsum_weighted_beats_unweighted_cost():
+    a = np.cumsum(rng.integers(0, 10, 2000)).astype(np.int64)
+    target = (a * 4 + rng.integers(-1, 2, 2000)).astype(np.int64)
+    w = X.train_colsum_weights(target, [a], taps=1)
+    cost_w = X.sprintz_packed_size(X.colsum_residual(target, [a], w))
+    cost_u = X.sprintz_packed_size(X.colsum_residual(target, [a]))
+    assert cost_w < cost_u
+
+
 def test_bytestream_codecs():
     x = np.repeat(np.arange(100), 50).astype(np.int64)
     for enc, dec in [(X.bzip2_encode, X.bzip2_decode), (X.lzma_encode, X.lzma_decode)]:
