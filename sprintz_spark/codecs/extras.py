@@ -4,10 +4,11 @@ Python layer (SURVEY.md §2.2), re-implemented from scratch.
   * ByteShuffle   — Blosc-style byte transpose (reference: codec.py:418-435)
   * ColSumPredictor — predict one column as the sum of others, store the
                     residual (reference: codec.py:538-591)
-  * Bzip2 / Lzma  — whole-column byte-stream general-purpose codecs
-                    (reference: codec.py:688-732; the repo's Zstd wrapper
-                    maps to stdlib lzma here — no zstandard module in this
-                    environment; Parquet-level zstd covers the storage path)
+  * Bzip2 / Lzma / Zstd — whole-column byte-stream general-purpose codecs
+                    (reference: codec.py:688-732). zstd_encode dispatches
+                    at runtime: true zstd when the zstandard module is
+                    importable, stdlib lzma otherwise, with a 1-byte tag
+                    recording the producer so blobs decode either way.
   * Lambda / Debug — arbitrary fn-pair wrapper / reverse (codec.py:646-664,
                     192-207)
   * compute_loss  — l1/l2/linf/logabs block losses for codec selection
@@ -142,6 +143,37 @@ def lzma_encode(x: np.ndarray) -> bytes:
 
 def lzma_decode(buf: bytes, dtype) -> np.ndarray:
     return np.frombuffer(_lzma.decompress(buf), dtype=dtype)
+
+
+# Runtime Zstd dispatch (reference python/codec.py:718-732): true zstd when
+# the zstandard module is importable, stdlib lzma otherwise — with the
+# producing codec recorded in a 1-byte tag so blobs decode either way.
+try:
+    import zstandard as _zstandard
+except ImportError:  # pragma: no cover - module absent in this sandbox
+    _zstandard = None
+
+
+def zstd_encode(x: np.ndarray, level: int = 3) -> bytes:
+    raw = np.ascontiguousarray(x).tobytes()
+    if _zstandard is not None:
+        return b"Z" + _zstandard.ZstdCompressor(level=level).compress(raw)
+    return b"L" + _lzma.compress(raw, preset=1)
+
+
+def zstd_decode(buf: bytes, dtype) -> np.ndarray:
+    tag, body = buf[:1], bytes(buf[1:])
+    if tag == b"Z":
+        if _zstandard is None:
+            raise RuntimeError(
+                "blob was zstd-compressed but zstandard is not importable"
+            )
+        return np.frombuffer(
+            _zstandard.ZstdDecompressor().decompress(body), dtype=dtype
+        )
+    if tag != b"L":
+        raise ValueError(f"bad zstd-dispatch tag {tag!r}")
+    return np.frombuffer(_lzma.decompress(body), dtype=dtype)
 
 
 def make_lambda_codec(enc_fn, dec_fn):

@@ -45,6 +45,15 @@ def _shuffle_lzma():
     )
 
 
+def _shuffle_zstd():
+    return (
+        lambda x: extras.zstd_encode(extras.byteshuffle_encode(x)),
+        lambda b, dt, n: extras.byteshuffle_decode(
+            extras.zstd_decode(b, np.uint8), dt, n
+        ),
+    )
+
+
 def _gorilla():
     return (
         lambda x: gorilla.encode(x.astype(np.float64, copy=False)),
@@ -60,6 +69,7 @@ PIPELINES: list[tuple[str, tuple]] = [
     ("raw", _sz("raw")),
     ("bzip2", _bzip2()),
     ("byteshuffle-lzma", _shuffle_lzma()),
+    ("byteshuffle-zstd", _shuffle_zstd()),  # true zstd when importable
     ("gorilla", _gorilla()),  # float64 only
 ]
 

@@ -613,10 +613,17 @@ def decode_series_container(
     ts_col: str = "bucket",
     value_cols: list[str] = ("crawl_count", "byte_size_sum", "byte_size_max"),
 ) -> DataFrame:
-    """Explode container rows back to the original series rows (narrow)."""
+    """Explode container rows back to the original series rows (narrow).
+
+    Any scalar column outside the container wire schema (e.g. the
+    encoder's part_col, whatever it was named) passes through per row."""
     key = list(key_cols)[0]
     value_cols = list(value_cols)
-    extra = [f for f in ([p for p in ("part",) if p in enc.columns])]
+    wire = {
+        "chunk", "n_series", "keys", "start_bucket", "end_bucket", "n",
+        "ts_blob", "meta", "raw_bytes", "comp_bytes", "encode_secs",
+    } | {f"blob_{c}" for c in value_cols}
+    extra = [c for c in enc.columns if c not in wire]
     fields = [StructField(p, enc.schema[p].dataType) for p in extra]
     fields += [
         StructField(key, enc.schema["keys"].dataType.elementType),
@@ -626,19 +633,24 @@ def decode_series_container(
     schema = StructType(fields)
 
     def dec(it):
+        col_order = [f.name for f in schema.fields]
         for pdf in it:
-            for _, row in pdf.iterrows():
-                ts_vals, ns = sz.decode_container(row["ts_blob"])
+            extras_np = {p: pdf[p].to_numpy() for p in extra}
+            blob_cols = [pdf[f"blob_{c}"].to_numpy() for c in value_cols]
+            for i, (keys, ts_blob) in enumerate(
+                zip(pdf["keys"].to_numpy(), pdf["ts_blob"].to_numpy())
+            ):
+                ts_vals, ns = sz.decode_container(ts_blob)
                 base = pd.DataFrame(
-                    {key: np.repeat(np.asarray(row["keys"], dtype=object), ns)}
+                    {key: np.repeat(np.asarray(keys, dtype=object), ns)}
                 )
                 for p in extra:
-                    base.insert(0, p, row[p])
+                    base.insert(0, p, extras_np[p][i])
                 base[ts_col] = ts_vals.view(np.int64).astype("datetime64[us]")
-                for c in value_cols:
-                    vals, _ = sz.decode_container(row[f"blob_{c}"])
+                for c, blobs in zip(value_cols, blob_cols):
+                    vals, _ = sz.decode_container(blobs[i])
                     base[c] = vals.view(np.int64)
-                yield base[[f.name for f in schema.fields]]
+                yield base[col_order]
 
     return enc.mapInPandas(dec, schema)
 

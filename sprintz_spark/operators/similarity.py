@@ -208,7 +208,10 @@ def kmeans_ivf_topk(
     norm = lambda c: F.sqrt(
         F.aggregate(F.transform(to_d(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
-    sim = (dot / (norm(vec_col) * norm(q_vec_col))).alias("sim")
+    # round BEFORE ranking, exactly like knn_bruteforce, so near-tie
+    # similarities break ties identically across the IVF / brute-force /
+    # oracle paths (sim desc, id asc)
+    sim = F.round(dot / (norm(vec_col) * norm(q_vec_col)), 6).alias("sim")
     w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         cand.select(q_id_col, id_col, sim)

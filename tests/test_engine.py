@@ -181,6 +181,28 @@ def test_container_series_roundtrip(spark, pages_small):
     assert c_sizes[1] / c_sizes[0] > 2.0  # daily tier compresses now
 
 
+def test_container_custom_part_col_passthrough(spark, pages_small):
+    """A caller-named partition column (not literally 'part') must survive
+    the container round trip on every decoded row."""
+    from pyspark.sql import functions as F
+
+    from sprintz_spark.operators import rollup as R
+    from sprintz_spark.operators.encode import (
+        decode_series_container,
+        encode_series_container,
+    )
+
+    shard = F.pmod(F.xxhash64("url"), F.lit(4)).cast("int")
+    t1d = R.derive_series(pages_small, "1d").withColumn("shard", shard)
+    enc = encode_series_container(
+        t1d, key_cols=["url"], value_cols=["crawl_count"], part_col="shard"
+    )
+    dec = decode_series_container(enc, key_cols=["url"], value_cols=["crawl_count"])
+    assert "shard" in dec.columns
+    bad = dec.where(F.col("shard") != shard).count()
+    assert bad == 0
+
+
 def test_query_encoded_container(spark, pages_small):
     """Fused aggregate over container blobs == aggregate over raw tier."""
     import pandas as pd

@@ -66,6 +66,47 @@ def test_colsum_weighted_beats_unweighted_cost():
     assert cost_w < cost_u
 
 
+def test_zstd_dispatch_lzma_branch():
+    """zstandard is absent in this sandbox: blobs must be 'L'-tagged and
+    round-trip through the lzma fallback."""
+    x = np.repeat(np.arange(100), 50).astype(np.int64)
+    buf = X.zstd_encode(x)
+    assert buf[:1] == (b"Z" if X._zstandard is not None else b"L")
+    np.testing.assert_array_equal(X.zstd_decode(buf, np.int64), x)
+
+
+def test_zstd_dispatch_zstd_branch_mocked(monkeypatch):
+    """Unit-mock the zstandard module (zlib-backed) to exercise the 'Z'
+    branch and the decode-side dispatch."""
+    import zlib
+
+    class _C:
+        def __init__(self, level=3):
+            pass
+
+        def compress(self, b):
+            return zlib.compress(b, 6)
+
+    class _D:
+        def decompress(self, b):
+            return zlib.decompress(b)
+
+    class _Mod:
+        ZstdCompressor = _C
+        ZstdDecompressor = _D
+
+    monkeypatch.setattr(X, "_zstandard", _Mod)
+    x = np.arange(1000, dtype=np.int64) * 7
+    buf = X.zstd_encode(x)
+    assert buf[:1] == b"Z"
+    np.testing.assert_array_equal(X.zstd_decode(buf, np.int64), x)
+    # 'L' blobs written by a zstd-less producer still decode
+    monkeypatch.setattr(X, "_zstandard", None)
+    buf_l = X.zstd_encode(x)
+    assert buf_l[:1] == b"L"
+    np.testing.assert_array_equal(X.zstd_decode(buf_l, np.int64), x)
+
+
 def test_bytestream_codecs():
     x = np.repeat(np.arange(100), 50).astype(np.int64)
     for enc, dec in [(X.bzip2_encode, X.bzip2_decode), (X.lzma_encode, X.lzma_decode)]:
