@@ -31,29 +31,9 @@ def time_query(fn, spark, sf_dir) -> float:
     return time.perf_counter() - t0
 
 
-BENCH_QUERIES = [
-    "rollup_1m",
-    "rollup_1h_cascade",
-    "rollup_1d_salted",
-    "gapfill_locf_1h",
-    "gapfill_linear_1h",
-    "topk_heavy_users",
-    "sprintz_roundtrip",
-    "container_roundtrip",
-    "query_on_compressed",
-    "gorilla_roundtrip",
-    "quantize_roundtrip",
-    "codec_search_stats",
-    "text_extract_verified",
-    "pricing_summary",
-    "dedup_wordset",
-    "token_stats",
-    "exact_dup_docs",
-    "ann_topk",
-    "minhash_near_dup",
-    "simhash_buckets",
-    "lang_quality",
-]
+# every queries() entry is benched (the full driver contract — nothing
+# silently unbenched); the list is taken from the registry at runtime so
+# new queries can't drift out of coverage
 
 
 def run_pipeline(spark, n_rows: int) -> dict:
@@ -156,12 +136,38 @@ def main() -> None:
 
     times: dict[str, float] = {}
     if os.environ.get("BENCH_ONLY_PIPELINE") != "1":
-        for name in BENCH_QUERIES:
+        for name in qmap:
             times[name] = round(time_query(qmap[name], spark, sf_dir), 3)
 
     extra: dict = {}
     if os.environ.get("BENCH_SKIP_PIPELINE") != "1":
         extra = run_pipeline(spark, int(os.environ.get("BENCH_PAGES_ROWS", "6000000")))
+
+    spark.stop()
+
+    # scaling-efficiency pair (north_rule evidence): the fused job at
+    # local[2] vs local[8] in separate subprocess JVMs, interleaved
+    # best-of-N (see bench_scaling.py for why 2->8 and not 8->32 on this
+    # DRAM-bus-bound VM). Runs after spark.stop() so the legs don't fight
+    # the bench session for cores.
+    if os.environ.get("BENCH_SKIP_SCALING") != "1":
+        import subprocess
+
+        env = dict(
+            os.environ,
+            SCALING_ROWS=os.environ.get("SCALING_ROWS", "12000000"),
+            SCALING_TRIALS=os.environ.get("SCALING_TRIALS", "2"),
+        )
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_scaling.py")],
+                capture_output=True, text=True, timeout=3000, env=env,
+            )
+            lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
+            if lines:
+                extra["scaling"] = json.loads(lines[-1])
+        except (subprocess.TimeoutExpired, OSError, json.JSONDecodeError) as ex:
+            extra["scaling"] = {"error": str(ex)[:200]}
 
     out = {
         "metric": "engine_bench_total",
@@ -173,7 +179,6 @@ def main() -> None:
         **extra,
     }
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":

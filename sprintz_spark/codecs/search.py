@@ -66,6 +66,7 @@ PIPELINES: list[tuple[str, tuple]] = [
     ("sprintz-doubledelta", _sz("doubledelta")),
     ("sprintz-dyndelta", _sz("dyndelta")),
     ("sprintz-fire", _sz("fire")),  # u8/u16 only; skipped otherwise
+    ("sprintz-ewma", _sz("ewma")),  # u8/u16 only (online.hpp moving avg)
     ("raw", _sz("raw")),
     ("bzip2", _bzip2()),
     ("byteshuffle-lzma", _shuffle_lzma()),
@@ -88,7 +89,7 @@ def search_encode(x: np.ndarray, sample: int = 1 << 16) -> bytes:
             continue
         if name != "gorilla" and is_float:
             continue
-        if name == "sprintz-fire" and w not in (8, 16):
+        if name in ("sprintz-fire", "sprintz-ewma") and w not in (8, 16):
             continue
         try:
             size = len(enc(probe))

@@ -5,7 +5,7 @@ bit-pack -> RLE; communicate/method.tex §3, cpp/Compress/sprintz_delta_rle.cpp
 and sprintz_xff_rle.cpp — re-architected for numpy vectorization, not a
 byte-level port):
 
-    residuals = forecast(x)         # delta | doubledelta | dyndelta | fire
+    residuals = forecast(x)   # delta | doubledelta | dyndelta | fire | ewma
     z = zigzag(residuals)           # fire already returns zigzagged errs
     nbits[b] = block width per 8-sample block (w-1 -> w promotion)
     headers = RLE(value, varint runlen) over the nbits stream
@@ -43,7 +43,7 @@ import zlib
 
 import numpy as np
 
-from sprintz_spark.codecs import bitpack, delta, fire, rle, zigzag
+from sprintz_spark.codecs import bitpack, delta, ewma, fire, rle, zigzag
 
 MAGIC = b"SZ1"
 MAGIC2 = 0x5A  # b'Z': compact head for small chunks (n < 65536, no extra)
@@ -67,7 +67,8 @@ def _maybe_deflate(blob: bytes, enable: bool = True) -> bytes:
 def _inflate(buf: bytes) -> bytes:
     return zlib.decompress(memoryview(buf)[1:]) if buf[0] == MAGIC_DEFLATE else buf
 
-MODES = {"delta": 0, "doubledelta": 1, "dyndelta": 2, "fire": 3, "raw": 4}
+MODES = {"delta": 0, "doubledelta": 1, "dyndelta": 2, "fire": 3, "raw": 4,
+         "ewma": 5}
 _MODE_NAMES = {v: k for k, v in MODES.items()}
 _W_CODE = {8: 0, 16: 1, 32: 2, 64: 3}
 _W_FROM_CODE = {v: k for k, v in _W_CODE.items()}
@@ -186,8 +187,8 @@ def encode_column(x: np.ndarray, mode: str = "delta", deflate: bool = True) -> b
     w = x.dtype.itemsize * 8
     if w not in _UNSIGNED:
         raise ValueError(f"unsupported element width {w}")
-    if mode == "fire" and w not in (8, 16):
-        raise ValueError("fire supports 8/16-bit elements only")
+    if mode in ("fire", "ewma") and w not in (8, 16):
+        raise ValueError(f"{mode} supports 8/16-bit elements only")
     if x.dtype.kind not in "iu":
         raise TypeError(
             f"encode_column takes integer arrays, got {x.dtype}; "
@@ -219,6 +220,9 @@ def encode_column(x: np.ndarray, mode: str = "delta", deflate: bool = True) -> b
     elif mode == "fire":
         z = fire.fire_encode(padded, w)
         z[n:] = 0  # pad-slot prediction errors are decode-discarded
+    elif mode == "ewma":
+        z = ewma.ewma_encode(padded, w)
+        z[n:] = 0  # pads are trailing: zeroing can't affect earlier state
     elif mode == "raw":
         z = padded
     else:
@@ -336,6 +340,8 @@ def decode_column(buf: bytes) -> np.ndarray:
         )
     elif mode == "fire":
         out = fire.fire_decode(z, w)
+    elif mode == "ewma":
+        out = ewma.ewma_decode(z, w)
     elif mode == "raw":
         out = z
     else:  # pragma: no cover
@@ -364,7 +370,7 @@ def decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
     groups: dict = {}
     for i, buf in enumerate(blobs):
         mode, w, n, pad, extra, nbits, payload, firsts = _parse(buf)
-        if mode == "dyndelta":  # per-blob (choice-mask state); rare path
+        if mode in ("dyndelta", "ewma"):  # per-blob state; rare paths
             out[i] = decode_column(buf)
             continue
         groups.setdefault((mode, w), []).append(
@@ -471,7 +477,7 @@ def encode_batch_concat(
     ns = np.asarray(lengths, dtype=np.int64)
     if mode == "fire":
         return encode_batch_concat_fire(values, ns, deflate)
-    if mode in ("raw", "dyndelta"):
+    if mode in ("raw", "dyndelta", "ewma"):
         starts = _cumsum0(ns)
         return [
             encode_column(values[starts[i] : starts[i + 1]], mode, deflate)

@@ -252,3 +252,38 @@ def test_quantize_timestamp_like_and_roundtrip_floats():
     u, params = quantize.quantize(s)
     back = quantize.unquantize(u, params)
     pd.testing.assert_series_equal(back, s, check_names=False)
+
+
+def test_ewma_roundtrip_and_wire():
+    """EWMA predictor (reference online.hpp:251-285): exact round trip
+    through the filter and through the full SZ1 wire format."""
+    from sprintz_spark.codecs import ewma
+
+    for w, dt in ((8, np.uint8), (16, np.uint16)):
+        x = (rng.integers(0, 2**w, 1024)).astype(dt)
+        z = ewma.ewma_encode(x, w)
+        np.testing.assert_array_equal(ewma.ewma_decode(z, w), x)
+    for dt in (np.uint16, np.int16, np.uint8):
+        arr = rng.integers(np.iinfo(dt).min, np.iinfo(dt).max, 333).astype(dt)
+        buf = sz.encode_column(arr, "ewma")
+        np.testing.assert_array_equal(
+            sz.decode_column(buf).view(dt), arr
+        )
+        assert sz.blob_mode(buf) == "ewma"
+
+
+def test_ewma_tracks_noisy_mean():
+    """On stationary noise around a level, EWMA residuals must be tighter
+    than delta residuals (the predictor's reason to exist)."""
+    from sprintz_spark.codecs import ewma
+    from sprintz_spark.codecs import zigzag as zz
+
+    x = (1000 + rng.integers(-40, 41, 4096)).astype(np.uint16)
+    e_ewma = zz.decode(ewma.ewma_encode(x, 16)).view(np.int16).astype(np.int64)
+    d = np.diff(x.astype(np.int64))
+    assert np.abs(e_ewma[64:]).mean() < np.abs(d[63:]).mean()
+
+
+def test_ewma_rejects_wide_dtypes():
+    with pytest.raises(ValueError):
+        sz.encode_column(np.arange(100, dtype=np.int64), "ewma")
