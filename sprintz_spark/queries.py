@@ -779,6 +779,60 @@ def q_image_features(spark, sf_dir):
     )
 
 
+def q_quality_stats(spark, sf_dir):
+    """Quality scoring (C4/Gopher-style length/punct/stopword heuristics)
+    gated by a SQL oracle: the DuckDB side reimplements the exact formula
+    (verified bit-equal per doc), and per-doc scores are summed as integer
+    micro-units so the aggregate is order-independent."""
+    from sprintz_spark.operators.text_ops import with_text_features
+
+    docs = _t(spark, sf_dir, "documents")
+    micros = F.round(F.col("quality") * 1e6, 0).cast("long")
+    return (
+        with_text_features(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(micros).alias("quality_micros"),
+        )
+    )
+
+
+def _quality_sql() -> str:
+    from sprintz_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+WITH f AS (
+  SELECT source,
+         len(text) AS n_chars,
+         regexp_extract_all(text, '\\S+') AS words,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+  FROM documents
+), g AS (
+  SELECT source, n_chars, n_alpha, len(words) AS n_words,
+         len([w for w in words
+              if list_contains([{stop_list}], trim(lower(w), '.,!?;:'))]) AS n_stop,
+         CASE WHEN len(words) > 0
+              THEN CAST(list_sum([len(w) for w in words]) AS DOUBLE) / len(words)
+              ELSE 0.0 END AS mean_wl
+  FROM f
+), q AS (
+  SELECT source,
+    CASE WHEN n_words = 0 THEN 0.0
+         ELSE ROUND(
+           0.4 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0.0 END)
+         + 0.4 * least(1.0, 4.0 * CAST(n_stop AS DOUBLE)/n_words)
+         + 0.2 * (CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END), 6)
+    END AS quality
+  FROM g
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CAST(ROUND(quality * 1000000, 0) AS BIGINT)) AS BIGINT) AS quality_micros
+FROM q GROUP BY source
+"""
+
+
 def q_lang_quality(spark, sf_dir):
     from sprintz_spark.operators.text_ops import with_text_features
 
@@ -822,6 +876,7 @@ def queries() -> dict:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_buckets": q_simhash_buckets,
         "lang_quality": q_lang_quality,
+        "quality_stats": q_quality_stats,
         "ngram_jaccard_verified": q_ngram_jaccard_verified,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
@@ -854,6 +909,7 @@ def oracles() -> dict:
         "ivf_kmeans_topk": _ANN_SQL,
         "asof_join": _ASOF_SQL,
         "ngram_jaccard_verified": _NGRAM_JACCARD_SQL,
+        "quality_stats": _quality_sql(),
         # rows-only (no SQL equivalent): minhash_near_dup, simhash_buckets,
         # lang_quality, embedding_near_dup,
         # ivf_topk (approximate), image_features (fake decoder),
