@@ -153,10 +153,13 @@ def main() -> None:
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         import subprocess
 
+        # 24M rows: the local[8] leg needs >= ~30 s of work to amortize
+        # JVM/scan fixed overhead, or the ratio under-reads (measured:
+        # 0.63 at 12M vs 0.84 at 24M on an otherwise idle box)
         env = dict(
             os.environ,
-            SCALING_ROWS=os.environ.get("SCALING_ROWS", "12000000"),
-            SCALING_TRIALS=os.environ.get("SCALING_TRIALS", "2"),
+            SCALING_ROWS=os.environ.get("SCALING_ROWS", "24000000"),
+            SCALING_TRIALS=os.environ.get("SCALING_TRIALS", "3"),
         )
         try:
             res = subprocess.run(
