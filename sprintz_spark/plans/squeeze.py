@@ -49,9 +49,19 @@ def encode_measure_decode(
         value_cols=value_cols,
         value_types=value_types,
     ).select(*all_cols)
-    # multiset equality, column-wise attribution: a mismatching column
-    # shows up in both directions of the exceptAll
-    mism = src.exceptAll(dec).count() + dec.exceptAll(src).count()
+    # multiset equality in ONE shuffle: tag sides +1/-1, group on the full
+    # row, sum tags — sum(|delta|) equals exceptAll(src,dec).count() +
+    # exceptAll(dec,src).count() (each of those is itself a full shuffle
+    # of both sides, so this halves the verify cost)
+    tagged = src.withColumn("_side", F.lit(1)).unionByName(
+        dec.withColumn("_side", F.lit(-1))
+    )
+    mism = int(
+        tagged.groupBy(*all_cols)
+        .agg(F.sum("_side").alias("_d"))
+        .agg(F.coalesce(F.sum(F.abs(F.col("_d"))), F.lit(0)))
+        .first()[0]
+    )
     itemsizes = {
         c: 8 for c in value_cols  # engine value columns are 64-bit (long/double)
     }
