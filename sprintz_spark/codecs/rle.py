@@ -75,6 +75,40 @@ def rle_decode(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return np.repeat(values, lengths)
 
 
+def rle_runs_segmented(
+    seq: np.ndarray, seg_starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Global RLE of a concatenated stream with runs FORCED to break at
+    segment boundaries (and at RUN_CAP) — equivalent to rle_encode run
+    independently per segment, in one vectorized pass.
+
+    Returns (run_starts, run_values, run_lengths); run_starts is sorted so
+    each segment's runs are the slice searchsorted(run_starts, seg_start)
+    .. searchsorted(run_starts, seg_end)."""
+    seq = np.asarray(seq)
+    n = len(seq)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, seq.dtype), np.empty(0, np.int64)
+    brk = np.zeros(n, dtype=bool)
+    brk[0] = True
+    brk[1:] = seq[1:] != seq[:-1]
+    ss = np.asarray(seg_starts, dtype=np.int64)
+    brk[ss[(ss >= 0) & (ss < n)]] = True
+    r_starts = np.flatnonzero(brk).astype(np.int64)
+    r_lens = np.diff(np.append(r_starts, n))
+    r_vals = seq[r_starts]
+    if r_lens.max() > RUN_CAP:
+        reps = (r_lens + RUN_CAP - 1) // RUN_CAP
+        idx = np.repeat(np.arange(len(r_lens)), reps)
+        k = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        r_starts = r_starts[idx] + k * RUN_CAP
+        r_lens = np.minimum(r_lens[idx] - k * RUN_CAP, RUN_CAP)
+        r_vals = r_vals[idx]
+    return r_starts, r_vals, r_lens.astype(np.int64)
+
+
 def encode_headers(nbits: np.ndarray) -> bytes:
     """Serialize the per-block bitwidth stream: u32 #runs, then run values
     (u8 each), then run lengths (varint each)."""

@@ -159,6 +159,20 @@ def _headers_v(nbits: np.ndarray) -> bytes:
     return _uvarint(nruns) + full[4:]
 
 
+def _headers_batch(nb: np.ndarray, blk_starts: np.ndarray, blk_hi: np.ndarray):
+    """Header-stream serialization pieces for MANY series in global numpy
+    passes (byte-identical to rle.encode_headers per series). Series i's
+    header body is vb[f[i]:f_hi[i]] + lb[lo[f[i]]:lo[f_hi[i]]] with
+    nruns = f_hi[i] - f[i]; callers prepend their run-count framing."""
+    r_starts, r_vals, r_lens = rle.rle_runs_segmented(nb, blk_starts)
+    f = np.searchsorted(r_starts, blk_starts).astype(np.int64)
+    f_hi = np.searchsorted(r_starts, blk_hi).astype(np.int64)
+    vb = r_vals.astype(np.uint8).tobytes()
+    lb = rle.varint_encode(r_lens)
+    lo = _cumsum0(np.where(r_lens < 128, 1, 2))
+    return f, f_hi, vb, lb, lo
+
+
 def _zero_extend(payload: bytes, nbits: np.ndarray) -> bytes:
     """Undo trailing-zero truncation: block b holds exactly nbits[b] bytes."""
     expected = int(nbits.astype(np.int64).sum())
@@ -522,14 +536,16 @@ def encode_batch_concat_fire(
     blk_hi = blk_starts + plens // BLOCK
     pv = memoryview(payload)
     head_mid = bytes([MODES["fire"], w])
+    f, f_hi, vb, lb, lo = _headers_batch(nb, blk_starts, blk_hi)
     out = []
     for i in range(len(ns)):
-        nbi = nb[blk_starts[i] : blk_hi[i]]
+        nruns = int(f_hi[i] - f[i])
+        hdr_body = vb[f[i] : f_hi[i]] + lb[lo[f[i]] : lo[f_hi[i]]]
         body = bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]]).rstrip(b"\x00")
-        if ns[i] < 65536 and len(nbi) <= 255:
+        if ns[i] < 65536 and nruns <= 255 and blk_hi[i] - blk_starts[i] <= 255:
             out.append(_maybe_deflate(
                 _head2("fire", w, int(ns[i]), int(pads[i]))
-                + _headers_compact(nbi)
+                + bytes([nruns]) + hdr_body
                 + body, deflate))
         else:
             head = (
@@ -539,7 +555,8 @@ def encode_batch_concat_fire(
                 + bytes([pads[i]])
                 + b"\x00\x00"
             )
-            out.append(_maybe_deflate(head + rle.encode_headers(nbi) + body, deflate))
+            out.append(_maybe_deflate(
+                head + nruns.to_bytes(4, "little") + hdr_body + body, deflate))
     return out
 
 
@@ -606,8 +623,10 @@ def _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode, deflate=True)
     wb = bytes([w])
     zero16 = b"\x00\x00"
     mode_names = ["delta", "doubledelta"]
+    f, f_hi, vb, lb, lo = _headers_batch(nb, blk_starts, blk_hi)
     for i in range(n_series):
-        nbi = nb[blk_starts[i] : blk_hi[i]]
+        nruns = int(f_hi[i] - f[i])
+        hdr_body = vb[f[i] : f_hi[i]] + lb[lo[f[i]] : lo[f_hi[i]]]
         body = bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]]).rstrip(b"\x00")
         if elig[i]:
             m = mode_names[int(choose2[i])]
@@ -615,10 +634,10 @@ def _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode, deflate=True)
                 m, w, int(ns[i]), int(pads[i]),
                 int(x0s[i]), int(gaps[i]) if m == "doubledelta" else None,
             )
-            out.append(_maybe_deflate(head + _headers_v(nbi) + body, deflate))
-        elif ns[i] < 65536 and len(nbi) <= 255:  # n==0: match encode_column
+            out.append(_maybe_deflate(head + _uvarint(nruns) + hdr_body + body, deflate))
+        elif ns[i] < 65536 and blk_hi[i] - blk_starts[i] <= 255:  # n==0 path
             head = _head2(mode_names[int(choose2[i])], w, int(ns[i]), int(pads[i]))
-            out.append(_maybe_deflate(head + _headers_compact(nbi) + body, deflate))
+            out.append(_maybe_deflate(head + bytes([nruns]) + hdr_body + body, deflate))
         else:
             head = (
                 MAGIC
@@ -628,7 +647,8 @@ def _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode, deflate=True)
                 + bytes([pads[i]])
                 + zero16
             )
-            out.append(_maybe_deflate(head + rle.encode_headers(nbi) + body, deflate))
+            out.append(_maybe_deflate(
+                head + nruns.to_bytes(4, "little") + hdr_body + body, deflate))
     return out
 
 
