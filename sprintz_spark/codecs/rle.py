@@ -75,6 +75,28 @@ def rle_decode(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return np.repeat(values, lengths)
 
 
+def uvarint_batch(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128 varints for arbitrary uint64 values, vectorized across the
+    batch; returns (concatenated bytes, offsets[n+1]) so value i's varint
+    is buf[offsets[i]:offsets[i+1]]. Byte-identical to the scalar encoder."""
+    from sprintz_spark.codecs import bitpack
+
+    v = np.asarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return b"", np.zeros(1, np.int64)
+    bl = bitpack.bit_length(v).astype(np.int64)
+    nb = np.maximum(1, (bl + 6) // 7)
+    offs = np.concatenate([[0], np.cumsum(nb)])
+    out = np.zeros(int(offs[-1]), np.uint8)
+    starts = offs[:-1]
+    for j in range(int(nb.max())):
+        sel = nb > j
+        byte = ((v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[sel] - 1 > j).astype(np.uint8) << 7
+        out[starts[sel] + j] = byte | cont
+    return out.tobytes(), offs
+
+
 def rle_runs_segmented(
     seq: np.ndarray, seg_starts: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

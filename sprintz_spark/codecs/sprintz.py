@@ -159,6 +159,21 @@ def _headers_v(nbits: np.ndarray) -> bytes:
     return _uvarint(nruns) + full[4:]
 
 
+def _payload_ends(payload: bytes, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Per-series payload end offsets with trailing zero bytes stripped —
+    the vectorized equivalent of payload[lo:hi].rstrip(b'\\x00') per
+    series (decode zero-extends, so truncation is lossless)."""
+    lo = np.asarray(lo, np.int64)
+    hi = np.asarray(hi, np.int64)
+    if not len(payload):
+        return lo.copy()
+    arr = np.frombuffer(payload, np.uint8)
+    nz = np.flatnonzero(arr)
+    pos = np.searchsorted(nz, hi, side="left") - 1
+    ends = np.where(pos >= 0, nz[np.maximum(pos, 0)] + 1, 0)
+    return np.maximum(ends, lo)
+
+
 def _headers_batch(nb: np.ndarray, blk_starts: np.ndarray, blk_hi: np.ndarray):
     """Header-stream serialization pieces for MANY series in global numpy
     passes (byte-identical to rle.encode_headers per series). Series i's
@@ -537,26 +552,38 @@ def encode_batch_concat_fire(
     pv = memoryview(payload)
     head_mid = bytes([MODES["fire"], w])
     f, f_hi, vb, lb, lo = _headers_batch(nb, blk_starts, blk_hi)
+    nruns_arr = f_hi - f
+    heads4 = np.empty((len(ns), 4), np.uint8)
+    heads4[:, 0] = MAGIC2
+    heads4[:, 1] = (
+        np.uint8((MODES["fire"] << 5) | (_W_CODE[w] << 3)) | pads.astype(np.uint8)
+    )
+    nm = ns.astype(np.uint16)
+    heads4[:, 2] = (nm & 0xFF).astype(np.uint8)
+    heads4[:, 3] = (nm >> 8).astype(np.uint8)
+    hb = heads4.tobytes()
+    p_lo = byte_off[blk_starts]
+    p_hi = _payload_ends(payload, p_lo, byte_off[blk_hi])
+    compact = (ns < 65536) & (blk_hi - blk_starts <= 255)
+    join = b"".join
     out = []
     for i in range(len(ns)):
-        nruns = int(f_hi[i] - f[i])
-        hdr_body = vb[f[i] : f_hi[i]] + lb[lo[f[i]] : lo[f_hi[i]]]
-        body = bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]]).rstrip(b"\x00")
-        if ns[i] < 65536 and nruns <= 255 and blk_hi[i] - blk_starts[i] <= 255:
-            out.append(_maybe_deflate(
-                _head2("fire", w, int(ns[i]), int(pads[i]))
-                + bytes([nruns]) + hdr_body
-                + body, deflate))
+        nruns = int(nruns_arr[i])
+        i4 = 4 * i
+        if compact[i]:
+            blob = join((
+                hb[i4 : i4 + 4], bytes([nruns]),
+                vb[f[i] : f_hi[i]], lb[lo[f[i]] : lo[f_hi[i]]],
+                pv[p_lo[i] : p_hi[i]],
+            ))
         else:
-            head = (
-                MAGIC
-                + head_mid
-                + int(ns[i]).to_bytes(4, "little")
-                + bytes([pads[i]])
-                + b"\x00\x00"
-            )
-            out.append(_maybe_deflate(
-                head + nruns.to_bytes(4, "little") + hdr_body + body, deflate))
+            blob = join((
+                MAGIC, head_mid, int(ns[i]).to_bytes(4, "little"),
+                bytes([pads[i]]), b"\x00\x00", nruns.to_bytes(4, "little"),
+                vb[f[i] : f_hi[i]], lb[lo[f[i]] : lo[f_hi[i]]],
+                pv[p_lo[i] : p_hi[i]],
+            ))
+        out.append(_maybe_deflate(blob, deflate) if deflate else blob)
     return out
 
 
@@ -624,31 +651,55 @@ def _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode, deflate=True)
     zero16 = b"\x00\x00"
     mode_names = ["delta", "doubledelta"]
     f, f_hi, vb, lb, lo = _headers_batch(nb, blk_starts, blk_hi)
+    nruns_arr = f_hi - f
+    # vectorized compact heads ('Y'/'Z' share the 4-byte layout) and firsts
+    # varints — byte-identical to _head3/_head2 per series
+    packed = (
+        (choose2.astype(np.uint8) << 5)
+        | np.uint8(_W_CODE[w] << 3)
+        | pads.astype(np.uint8)
+    )
+    nm = np.where(elig, ns - 1, ns).astype(np.uint16)
+    heads4 = np.empty((n_series, 4), np.uint8)
+    heads4[:, 0] = np.where(elig, MAGIC3, MAGIC2)
+    heads4[:, 1] = packed
+    heads4[:, 2] = (nm & 0xFF).astype(np.uint8)
+    heads4[:, 3] = (nm >> 8).astype(np.uint8)
+    hb = heads4.tobytes()
+    vx_b, vx_off = rle.uvarint_batch(zigzag.encode(x0s).astype(np.uint64))
+    vd_b, vd_off = rle.uvarint_batch(zigzag.encode(gaps).astype(np.uint64))
+    small_run = nruns_arr < 128
+    p_lo = byte_off[blk_starts]
+    p_hi = _payload_ends(payload, p_lo, byte_off[blk_hi])
+    compact_ok = (ns < 65536) & (blk_hi - blk_starts <= 255)
+    join = b"".join
     for i in range(n_series):
-        nruns = int(f_hi[i] - f[i])
-        hdr_body = vb[f[i] : f_hi[i]] + lb[lo[f[i]] : lo[f_hi[i]]]
-        body = bytes(pv[byte_off[blk_starts[i]] : byte_off[blk_hi[i]]]).rstrip(b"\x00")
+        nruns = int(nruns_arr[i])
+        i4 = 4 * i
         if elig[i]:
-            m = mode_names[int(choose2[i])]
-            head = _head3(
-                m, w, int(ns[i]), int(pads[i]),
-                int(x0s[i]), int(gaps[i]) if m == "doubledelta" else None,
-            )
-            out.append(_maybe_deflate(head + _uvarint(nruns) + hdr_body + body, deflate))
-        elif ns[i] < 65536 and blk_hi[i] - blk_starts[i] <= 255:  # n==0 path
-            head = _head2(mode_names[int(choose2[i])], w, int(ns[i]), int(pads[i]))
-            out.append(_maybe_deflate(head + bytes([nruns]) + hdr_body + body, deflate))
+            blob = join((
+                hb[i4 : i4 + 4],
+                vx_b[vx_off[i] : vx_off[i + 1]],
+                vd_b[vd_off[i] : vd_off[i + 1]] if choose2[i] else b"",
+                bytes([nruns]) if small_run[i] else _uvarint(nruns),
+                vb[f[i] : f_hi[i]], lb[lo[f[i]] : lo[f_hi[i]]],
+                pv[p_lo[i] : p_hi[i]],
+            ))
+        elif compact_ok[i]:  # n==0 path
+            blob = join((
+                hb[i4 : i4 + 4], bytes([nruns]),
+                vb[f[i] : f_hi[i]], lb[lo[f[i]] : lo[f_hi[i]]],
+                pv[p_lo[i] : p_hi[i]],
+            ))
         else:
-            head = (
-                MAGIC
-                + mode_bytes[int(choose2[i])]
-                + wb
-                + int(ns[i]).to_bytes(4, "little")
-                + bytes([pads[i]])
-                + zero16
-            )
-            out.append(_maybe_deflate(
-                head + nruns.to_bytes(4, "little") + hdr_body + body, deflate))
+            blob = join((
+                MAGIC, mode_bytes[int(choose2[i])], wb,
+                int(ns[i]).to_bytes(4, "little"), bytes([pads[i]]), zero16,
+                nruns.to_bytes(4, "little"),
+                vb[f[i] : f_hi[i]], lb[lo[f[i]] : lo[f_hi[i]]],
+                pv[p_lo[i] : p_hi[i]],
+            ))
+        out.append(_maybe_deflate(blob, deflate) if deflate else blob)
     return out
 
 

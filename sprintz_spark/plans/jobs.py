@@ -131,6 +131,18 @@ def _encode_measure(vals, piece_starts, piece_lens, codec, deflate=False):
     return blobs, metas
 
 
+def _meta_frag(m: dict) -> str:
+    """JSON fragment for one measure meta — hand-assembled (json.loads-
+    compatible; keys are fixed identifiers, values ints) because
+    json.dumps on 30k tiny dicts per partition was ~10% of UDF wall."""
+    if "offset" in m:
+        return (
+            '{"codec": "sprintz", "mode": "fire", "np_dtype": "%s", "offset": %d}'
+            % (m["np_dtype"], m["offset"])
+        )
+    return '{"codec": "sprintz", "mode": "%s", "np_dtype": "int64"}' % m["mode"]
+
+
 def _segment(url_arr, bucket_arr):
     """Group boundaries where (url, bucket) changes; arrays must be sorted."""
     n = len(url_arr)
@@ -209,20 +221,22 @@ def fused_rollup_encode(
                     "ts_blob": ts_blobs,
                 }
             )
-            metas_all = [
-                {"ts": {"codec": "sprintz", "mode": "doubledelta"}}
-                for _ in range(n_pieces)
-            ]
+            crc_frags = [""] * n_pieces
             if with_crc:
                 for i in range(n_pieces):
                     sl = slice(p_starts[i], p_starts[i] + p_lens[i])
-                    metas_all[i]["crc"] = {
-                        "ts": zlib.crc32(g_bucket[sl].tobytes()),
-                        "crawl_count": zlib.crc32(counts[sl].tobytes()),
-                        "byte_size_sum": zlib.crc32(sums[sl].tobytes()),
-                        "byte_size_max": zlib.crc32(maxs[sl].tobytes()),
-                        "byte_size_min": zlib.crc32(mins[sl].tobytes()),
-                    }
+                    crc_frags[i] = (
+                        ', "crc": {"ts": %d, "crawl_count": %d, "byte_size_sum": %d,'
+                        ' "byte_size_max": %d, "byte_size_min": %d}'
+                        % (
+                            zlib.crc32(g_bucket[sl].tobytes()),
+                            zlib.crc32(counts[sl].tobytes()),
+                            zlib.crc32(sums[sl].tobytes()),
+                            zlib.crc32(maxs[sl].tobytes()),
+                            zlib.crc32(mins[sl].tobytes()),
+                        )
+                    )
+            meas_frags: dict[str, list] = {}
             for name, arr in (
                 ("crawl_count", counts),
                 ("byte_size_sum", sums),
@@ -231,11 +245,19 @@ def fused_rollup_encode(
             ):
                 blobs, metas = _encode_measure(arr, p_starts, p_lens, codec)
                 out[f"blob_{name}"] = blobs
-                for i in range(n_pieces):
-                    metas_all[i][name] = metas[i]
+                meas_frags[name] = [_meta_frag(m) for m in metas]
                 raws = raws + 8 * p_lens
                 comps = comps + np.fromiter((len(b) for b in blobs), np.int64, n_pieces)
-            out["meta"] = [json.dumps(m) for m in metas_all]
+            cc, bs, bx, bn = (
+                meas_frags["crawl_count"], meas_frags["byte_size_sum"],
+                meas_frags["byte_size_max"], meas_frags["byte_size_min"],
+            )
+            out["meta"] = [
+                '{"ts": {"codec": "sprintz", "mode": "doubledelta"}%s,'
+                ' "crawl_count": %s, "byte_size_sum": %s, "byte_size_max": %s,'
+                ' "byte_size_min": %s}' % (crc_frags[i], cc[i], bs[i], bx[i], bn[i])
+                for i in range(n_pieces)
+            ]
             out["raw_bytes"] = raws
             out["comp_bytes"] = comps
             frames.append(out)
