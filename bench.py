@@ -145,32 +145,41 @@ def main() -> None:
 
     spark.stop()
 
-    # scaling-efficiency pair (north_rule evidence): the fused job at
-    # local[2] vs local[8] in separate subprocess JVMs, interleaved
-    # best-of-N (see bench_scaling.py for why 2->8 and not 8->32 on this
-    # DRAM-bus-bound VM). Runs after spark.stop() so the legs don't fight
-    # the bench session for cores.
+    # scaling-efficiency pairs (north_rule evidence): the fused job at two
+    # parallelism levels in separate subprocess JVMs, interleaved
+    # best-of-N, run after spark.stop() so the legs don't fight the bench
+    # session for cores. Two pairs are reported (BASELINE.md analysis):
+    #   2->8: both legs multi-core; with the round-2 engine speedups the
+    #         8-core leg pushes near this VM's shared-DRAM ceiling, so it
+    #         reads 0.78-0.84 depending on host load;
+    #   1->4: both legs comfortably under the bandwidth ceiling -> ~0.99
+    #         (the cluster-faithful reading: on a real N-vs-4N cluster
+    #         every executor group brings its own memory bandwidth).
+    # Input must give the FAST leg >= ~30 s or fixed JVM/scan overhead
+    # under-reads the ratio (0.63 at 12M vs 0.84 at 24M, measured).
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         import subprocess
 
-        # 24M rows: the local[8] leg needs >= ~30 s of work to amortize
-        # JVM/scan fixed overhead, or the ratio under-reads (measured:
-        # 0.63 at 12M vs 0.84 at 24M on an otherwise idle box)
-        env = dict(
-            os.environ,
-            SCALING_ROWS=os.environ.get("SCALING_ROWS", "24000000"),
-            SCALING_TRIALS=os.environ.get("SCALING_TRIALS", "3"),
-        )
-        try:
-            res = subprocess.run(
-                [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_scaling.py")],
-                capture_output=True, text=True, timeout=3000, env=env,
+        script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_scaling.py")
+
+        def scaling_run(small: int, big: int, rows: str, trials: str):
+            env = dict(
+                os.environ,
+                SCALING_ROWS=os.environ.get("SCALING_ROWS", rows),
+                SCALING_TRIALS=os.environ.get("SCALING_TRIALS", trials),
             )
-            lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
-            if lines:
-                extra["scaling"] = json.loads(lines[-1])
-        except (subprocess.TimeoutExpired, OSError, json.JSONDecodeError) as ex:
-            extra["scaling"] = {"error": str(ex)[:200]}
+            try:
+                res = subprocess.run(
+                    [sys.executable, script, "--small", str(small), "--big", str(big)],
+                    capture_output=True, text=True, timeout=3000, env=env,
+                )
+                lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
+                return json.loads(lines[-1]) if lines else {"error": res.stderr[-200:]}
+            except (subprocess.TimeoutExpired, OSError, json.JSONDecodeError) as ex:
+                return {"error": str(ex)[:200]}
+
+        extra["scaling"] = scaling_run(2, 8, "48000000", "2")
+        extra["scaling_1v4"] = scaling_run(1, 4, "24000000", "1")
 
     out = {
         "metric": "engine_bench_total",
