@@ -287,3 +287,49 @@ def test_ewma_tracks_noisy_mean():
 def test_ewma_rejects_wide_dtypes():
     with pytest.raises(ValueError):
         sz.encode_column(np.arange(100, dtype=np.int64), "ewma")
+
+
+def test_uvarint_batch_matches_scalar():
+    from sprintz_spark.codecs import rle
+    from sprintz_spark.codecs.sprintz import _uvarint
+
+    vals = np.concatenate(
+        [rng.integers(0, 2**k, 100) for k in (7, 14, 28, 49, 63)]
+        + [np.array([0, 1, 127, 128, 16383, 16384, 2**63 - 1])]
+    ).astype(np.uint64)
+    buf, offs = rle.uvarint_batch(vals)
+    for i, v in enumerate(vals.tolist()):
+        assert buf[offs[i] : offs[i + 1]] == _uvarint(int(v))
+
+
+def test_rle_runs_segmented_matches_per_segment():
+    from sprintz_spark.codecs import rle
+
+    seq = np.concatenate(
+        [np.zeros(40000, np.uint8),  # over RUN_CAP: forces cap splits
+         np.repeat(np.array([3, 0, 3, 7], np.uint8), [5, 9, 1, 2]),
+         np.full(6, 7, np.uint8)]
+    )
+    seg_starts = np.array([0, 40000, 40017], np.int64)
+    r_starts, r_vals, r_lens = rle.rle_runs_segmented(seq, seg_starts)
+    # equivalence: per-segment rle_encode
+    seg_hi = np.append(seg_starts[1:], len(seq))
+    want_vals, want_lens = [], []
+    for lo, hi in zip(seg_starts, seg_hi):
+        v, l = rle.rle_encode(seq[lo:hi])
+        want_vals.extend(v.tolist())
+        want_lens.extend(l.tolist())
+    assert r_vals.tolist() == want_vals
+    assert r_lens.tolist() == want_lens
+    assert (np.diff(r_starts) > 0).all()
+
+
+def test_payload_ends_matches_rstrip():
+    from sprintz_spark.codecs.sprintz import _payload_ends
+
+    payload = bytes([1, 0, 0, 5, 0, 0, 0, 0, 9, 0])
+    lo = np.array([0, 3, 4, 8, 10], np.int64)
+    hi = np.array([3, 4, 8, 10, 10], np.int64)
+    ends = _payload_ends(payload, lo, hi)
+    for a, b, e in zip(lo, hi, ends):
+        assert payload[a:e] == payload[a:b].rstrip(b"\x00"), (a, b, e)
