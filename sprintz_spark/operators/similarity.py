@@ -90,7 +90,13 @@ def ivf_topk(
     hamming_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: scan only cells within ``hamming_probe`` bit
-    flips of the query's cell (probes = sum_{i<=h} C(n_planes, i))."""
+    flips of the query's cell (probes = sum_{i<=h} C(n_planes, i)).
+
+    The query table is collected to the driver to expand probe cells —
+    intended for interactive query sets (<= ~10^5 rows; each expands to
+    1+n_planes probe rows that broadcast). For query sets that are
+    themselves corpus-scale, assign cells distributedly (kmeans_ivf_index
+    on the query side) and join on cell instead."""
     dim = len(queries.select(q_vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
