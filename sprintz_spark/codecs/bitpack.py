@@ -74,11 +74,29 @@ def pack_blocks(u: np.ndarray, nbits: np.ndarray, block: int = BLOCK) -> bytes:
             continue
         idx = np.flatnonzero(nbits == b)
         vals = blocks[idx]  # (k, block)
+        nbytes = b * block // 8
+        if b <= 16 and block == 8 and len(idx) >= 2048:
+            # shift-scatter: sample j's b bits land in <= 3 bytes starting
+            # at byte j*b>>3; OR lanes serially over j (they may share a
+            # boundary byte) — no 8x bit-matrix expansion. Gated on group
+            # size: ~24 numpy calls of setup lose to unpackbits below ~2k
+            # blocks (measured 0.36x at 200 blocks, 1.35-1.39x above 20k)
+            k = len(idx)
+            acc = np.zeros((k, nbytes + 2), dtype=np.uint8)
+            for j in range(block):
+                o = j * b
+                byte0 = o >> 3
+                v32 = vals[:, j].astype(np.uint32) << np.uint32(o & 7)
+                acc[:, byte0] |= (v32 & np.uint32(0xFF)).astype(np.uint8)
+                acc[:, byte0 + 1] |= ((v32 >> np.uint32(8)) & np.uint32(0xFF)).astype(np.uint8)
+                acc[:, byte0 + 2] |= (v32 >> np.uint32(16)).astype(np.uint8)
+            dst = offsets[idx][:, None] + np.arange(nbytes)
+            payload[dst] = acc[:, :nbytes]
+            continue
         # little-endian byte view -> little-endian bit matrix -> first b bits
         byte_view = vals.reshape(-1, 1).view(np.uint8).reshape(len(idx), block, itemsize)
         bits = np.unpackbits(byte_view, axis=2, bitorder="little", count=b)
         packed = np.packbits(bits.reshape(len(idx), block * b), axis=1, bitorder="little")
-        nbytes = b * block // 8
         dst = offsets[idx][:, None] + np.arange(nbytes)
         payload[dst] = packed
     return payload.tobytes()
@@ -87,7 +105,12 @@ def pack_blocks(u: np.ndarray, nbits: np.ndarray, block: int = BLOCK) -> bytes:
 def unpack_blocks(
     payload: bytes, nbits: np.ndarray, dtype: np.dtype, block: int = BLOCK
 ) -> np.ndarray:
-    """Inverse of pack_blocks: returns the padded unsigned sample array."""
+    """Inverse of pack_blocks: returns the padded unsigned sample array.
+
+    Widths <= 16 take a shift-gather path: sample j of a b-bit block spans
+    bits [j*b, (j+1)*b), i.e. at most 3 bytes — one u32 gather + shift +
+    mask per sample lane, no 8x bit-matrix expansion (measured ~3x faster
+    than the unpackbits route on typical residual widths)."""
     dtype = np.dtype(dtype)
     itemsize = dtype.itemsize
     nbits = nbits.astype(np.int64)
@@ -104,6 +127,24 @@ def unpack_blocks(
         nbytes = b * block // 8
         src = offsets[idx][:, None] + np.arange(nbytes)
         packed = buf[src]  # (k, nbytes)
+        if b <= 16 and block == 8:
+            k = len(idx)
+            pad = np.zeros((k, nbytes + 2), dtype=np.uint8)
+            pad[:, :nbytes] = packed
+            mask = np.uint32((1 << b) - 1)
+            vals8 = np.empty((k, block), dtype=np.uint32)
+            for j in range(block):
+                o = j * b
+                byte0 = o >> 3
+                sh = np.uint32(o & 7)
+                w32 = (
+                    pad[:, byte0].astype(np.uint32)
+                    | (pad[:, byte0 + 1].astype(np.uint32) << np.uint32(8))
+                    | (pad[:, byte0 + 2].astype(np.uint32) << np.uint32(16))
+                )
+                vals8[:, j] = (w32 >> sh) & mask
+            out[idx] = vals8.astype(_UNSIGNED[itemsize])
+            continue
         bits = np.unpackbits(packed, axis=1, bitorder="little", count=block * b)
         bits = bits.reshape(len(idx), block, b)
         full = np.zeros((len(idx), block, itemsize * 8), dtype=np.uint8)
