@@ -182,3 +182,28 @@ def stream_encode_stateful(
     return points_stream.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def stream_exact_dedup(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for a document stream: the first occurrence
+    of each content hash survives; later copies arriving within the
+    watermark horizon are dropped (dropDuplicatesWithinWatermark).
+
+    Scale shape: dedup state holds one md5 per distinct doc INSIDE the
+    horizon and is evicted beyond it, so state is bounded by
+    watermark x ingest rate — not corpus size. Cross-horizon exactness
+    belongs to the batch exact_dedup over the accumulated store (the
+    standard lambda split for streaming dedup)."""
+    return (
+        docs_stream.select(id_col, ts_col, text_col)
+        .withColumn("_h", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )

@@ -150,3 +150,45 @@ def test_stateful_stream_encoder(spark, tmp_path):
             ts_cat, want["bucket"].astype("datetime64[us]").to_numpy().view(np.int64)
         )
         np.testing.assert_array_equal(v_cat, want["v"].to_numpy(np.int64))
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Streaming dedup emits exactly one row per distinct text; duplicate
+    copies in later micro-batches are dropped within the watermark."""
+    import datetime as dt
+
+    from sprintz_spark.streaming.rollup_stream import stream_exact_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "docs_src")
+    batches = [
+        [(1, t0, "alpha beta"), (2, t0, "gamma delta")],
+        [(3, t0 + dt.timedelta(minutes=1), "alpha beta"),       # dup of 1
+         (4, t0 + dt.timedelta(minutes=1), "epsilon zeta")],
+        [(5, t0 + dt.timedelta(minutes=2), "gamma delta"),      # dup of 2
+         (6, t0 + dt.timedelta(minutes=2), "alpha beta")],      # dup of 1
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, ts timestamp, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = str(tmp_path / "dedup_out")
+    q = (
+        stream_exact_dedup(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk_dedup"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas().sort_values("doc_id")
+    assert sorted(got["text"]) == ["alpha beta", "epsilon zeta", "gamma delta"]
+    assert len(got) == 3  # one survivor per distinct text
