@@ -82,20 +82,86 @@ def frame_sample(
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            cols = list(pdf.columns)
             rows = []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col]
+            for tup in pdf.itertuples(index=False):
+                rec = dict(zip(cols, tup))
+                payload = rec[payload_col]
                 if not fake:
                     raise NotImplementedError("video decode not available")
                 n_frames = (len(payload or b"") % 97) + 1
                 for fi in range(0, n_frames, every_n):
-                    r = row.to_dict()
-                    r["frame_idx"] = fi
                     sig = hashlib.sha256((payload or b"") + fi.to_bytes(4, "little")).digest()
-                    r["frame_sig"] = int.from_bytes(sig[:8], "little", signed=True)
-                    rows.append(r)
+                    rows.append({**rec, "frame_idx": fi,
+                                 "frame_sig": int.from_bytes(sig[:8], "little", signed=True)})
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 columns=list(pdf.columns) + ["frame_idx", "frame_sig"]
             )
+
+    return df.mapInPandas(gen, schema)
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_h: int = 4,
+    out_w: int = 4,
+    fake: bool = True,
+) -> DataFrame:
+    """Resize plumbing: decode -> nearest-neighbor resize -> re-emit as a
+    binary column of raw out_h*out_w*3 pixels plus shape metadata. The
+    RESIZE math is real numpy (index-gather nearest neighbor); only the
+    pixel source is the deterministic fake decoder."""
+    base = ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
+    schema = base + ", pixels binary, height int, width int, channels int"
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pix = []
+            for payload in pdf[payload_col]:
+                img = _fake_decode(payload) if fake else decode_image(payload)
+                h, w, c = img.shape
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                pix.append(img[ys][:, xs].tobytes())
+            pdf = pdf.copy()
+            pdf["pixels"] = pix
+            pdf["height"] = np.int32(out_h)
+            pdf["width"] = np.int32(out_w)
+            pdf["channels"] = np.int32(3)
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", fake: bool = True
+) -> DataFrame:
+    """Audio plumbing: decode -> rms / zero-crossing-rate / duration.
+    Feature math is real numpy over the deterministic fake PCM (a real
+    deployment swaps in soundfile/ffmpeg for the decode only)."""
+    base = ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
+    schema = base + ", n_samples long, rms double, zcr double"
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ns, rms, zcr = [], [], []
+            for payload in pdf[payload_col]:
+                if not fake:
+                    raise NotImplementedError("audio decode not available")
+                b = payload or b"\x00\x00"
+                d = hashlib.sha256(b).digest()
+                n = (len(b) % 1024) + 256  # deterministic fake sample count
+                reps = (2 * n + len(d) - 1) // len(d)
+                pcm = np.frombuffer((d * reps)[: 2 * n], dtype=np.int16).astype(np.float64)
+                pcm /= 32768.0
+                ns.append(len(pcm))
+                rms.append(float(np.sqrt((pcm * pcm).mean())))
+                zcr.append(float((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).mean()))
+            pdf = pdf.copy()
+            pdf["n_samples"] = np.array(ns, np.int64)
+            pdf["rms"] = rms
+            pdf["zcr"] = zcr
+            yield pdf
 
     return df.mapInPandas(gen, schema)

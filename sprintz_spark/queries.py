@@ -833,6 +833,30 @@ FROM q GROUP BY source
 """
 
 
+def q_image_resize(spark, sf_dir):
+    """Multimodal resize plumbing (rows-only: fake decoder; the
+    nearest-neighbor resize math and binary schema are real)."""
+    from sprintz_spark.operators.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return resize_images(payloads, out_h=4, out_w=4).select(
+        "doc_id", F.length("pixels").alias("n_bytes"), "height", "width", "channels"
+    )
+
+
+def q_audio_stats(spark, sf_dir):
+    """Multimodal audio plumbing (rows-only: fake PCM decoder; rms/zcr
+    feature math is real numpy)."""
+    from sprintz_spark.operators.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return audio_features(payloads).select(
+        "doc_id", "n_samples", F.round("rms", 6).alias("rms"), F.round("zcr", 6).alias("zcr")
+    )
+
+
 def q_lang_quality(spark, sf_dir):
     from sprintz_spark.operators.text_ops import with_text_features
 
@@ -881,6 +905,8 @@ def queries() -> dict:
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
         "image_features": q_image_features,
+        "image_resize": q_image_resize,
+        "audio_stats": q_audio_stats,
     }
 
 
