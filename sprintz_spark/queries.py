@@ -597,6 +597,29 @@ SELECT n_copies, count(*) AS n_groups FROM (
 """
 
 
+def q_normalized_dup_docs(spark, sf_dir):
+    """Exact dedup after case/whitespace normalization (the standard
+    near-exact variant a training pipeline runs before fuzzy passes):
+    docs collapse by md5 of lower-cased, whitespace-collapsed text."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return (
+        docs.groupBy(norm.alias("h"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .groupBy("n_copies")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+_NORM_DUP_SQL = r"""
+SELECT n_copies, count(*) AS n_groups FROM (
+  SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+) GROUP BY n_copies
+"""
+
+
 # --- similarity search over embeddings ------------------------------------
 
 def q_ann_topk(spark, sf_dir):
@@ -894,6 +917,7 @@ def queries() -> dict:
         "dedup_wordset": q_dedup_wordset,
         "token_stats": q_token_stats,
         "exact_dup_docs": q_exact_dup_docs,
+        "normalized_dup_docs": q_normalized_dup_docs,
         "ann_topk": q_ann_topk,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "asof_join": q_asof_join,
@@ -931,6 +955,7 @@ def oracles() -> dict:
         "dedup_wordset": _DEDUP_WORDSET_SQL,
         "token_stats": _TOKEN_STATS_SQL,
         "exact_dup_docs": _EXACT_DUP_SQL,
+        "normalized_dup_docs": _NORM_DUP_SQL,
         "ann_topk": _ANN_SQL,
         "ivf_kmeans_topk": _ANN_SQL,
         "asof_join": _ASOF_SQL,
