@@ -717,6 +717,41 @@ FROM purchases p ASOF LEFT JOIN clicks c
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) summarized per user — the
+    classic event-analytics operator, gated by the identical window SQL."""
+    from sprintz_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return session_stats(ev, key="user_id", ts_col="ts", gap_minutes=30)
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_ev,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_ev) AS BIGINT) AS n_events,
+       CAST(max(n_ev) AS BIGINT) AS max_session_events,
+       CAST(sum(dwell) AS BIGINT) AS dwell_us_sum
+FROM per_session GROUP BY user_id
+"""
+
+
 # --- rows-only (non-SQL-expressible) engine ops ---------------------------
 
 def q_minhash_near_dup(spark, sf_dir):
@@ -921,6 +956,7 @@ def queries() -> dict:
         "ann_topk": q_ann_topk,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_buckets": q_simhash_buckets,
         "lang_quality": q_lang_quality,
@@ -959,6 +995,7 @@ def oracles() -> dict:
         "ann_topk": _ANN_SQL,
         "ivf_kmeans_topk": _ANN_SQL,
         "asof_join": _ASOF_SQL,
+        "sessionize": _SESSION_SQL,
         "ngram_jaccard_verified": _NGRAM_JACCARD_SQL,
         "quality_stats": _quality_sql(),
         # rows-only (no SQL equivalent): minhash_near_dup, simhash_buckets,
