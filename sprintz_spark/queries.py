@@ -717,6 +717,29 @@ FROM purchases p ASOF LEFT JOIN clicks c
 """
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (Spark `percentile`
+    and DuckDB `quantile_cont` share the type-7 definition, so values are
+    bit-equal). Exact percentile sorts within groups — correct at any
+    scale but at 100 TB the approx_percentile sketch is the scan-friendly
+    variant; this query gates the exact path."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(_cents(), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(_cents(), F.lit(0.95)), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_PERCENTILE_SQL = f"""
+SELECT event_type,
+       ROUND(quantile_cont({_CENTS_SQL}, 0.5), 6) AS p50,
+       ROUND(quantile_cont({_CENTS_SQL}, 0.95), 6) AS p95,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization (30-min inactivity gap) summarized per user — the
     classic event-analytics operator, gated by the identical window SQL."""
@@ -957,6 +980,7 @@ def queries() -> dict:
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "value_percentiles": q_value_percentiles,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_buckets": q_simhash_buckets,
         "lang_quality": q_lang_quality,
@@ -996,6 +1020,7 @@ def oracles() -> dict:
         "ivf_kmeans_topk": _ANN_SQL,
         "asof_join": _ASOF_SQL,
         "sessionize": _SESSION_SQL,
+        "value_percentiles": _PERCENTILE_SQL,
         "ngram_jaccard_verified": _NGRAM_JACCARD_SQL,
         "quality_stats": _quality_sql(),
         # rows-only (no SQL equivalent): minhash_near_dup, simhash_buckets,
