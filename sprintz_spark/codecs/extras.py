@@ -66,6 +66,8 @@ def colsum_predictions(
     """Weighted/FIR prediction stream. ``weights`` is (taps, n_predictors):
     taps==1 is a plain per-column scalar weight; taps>1 cross-correlates
     each predictor with its tap column. None = unweighted sum."""
+    if not predictors:
+        raise ValueError("at least one predictor column is required")
     if weights is not None:
         weights = np.atleast_2d(np.asarray(weights, np.float64))
         if weights.shape[1] != len(predictors):

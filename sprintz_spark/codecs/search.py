@@ -61,18 +61,27 @@ def _gorilla():
     )
 
 
+# APPEND-ONLY: the list index is the on-disk pipeline id (byte 0 of the
+# search container), so existing entries must never be reordered or
+# removed — new pipelines go at the END. (Round-2 briefly inserted
+# entries mid-list; restored to the original prefix + appended tail.)
 PIPELINES: list[tuple[str, tuple]] = [
     ("sprintz-delta", _sz("delta")),
     ("sprintz-doubledelta", _sz("doubledelta")),
     ("sprintz-dyndelta", _sz("dyndelta")),
     ("sprintz-fire", _sz("fire")),  # u8/u16 only; skipped otherwise
-    ("sprintz-ewma", _sz("ewma")),  # u8/u16 only (online.hpp moving avg)
     ("raw", _sz("raw")),
     ("bzip2", _bzip2()),
     ("byteshuffle-lzma", _shuffle_lzma()),
-    ("byteshuffle-zstd", _shuffle_zstd()),  # true zstd when importable
     ("gorilla", _gorilla()),  # float64 only
+    ("sprintz-ewma", _sz("ewma")),  # u8/u16 only (online.hpp moving avg)
+    ("byteshuffle-zstd", _shuffle_zstd()),  # true zstd when importable
 ]
+
+# ewma's IIR scan is per-sample Python (no per-block state boundary, so it
+# cannot batch like FIRE); cap the column length it may win at so a probe
+# victory can't commit the full column to a sample-by-sample encode
+EWMA_MAX_LEN = 1 << 17
 
 
 def search_encode(x: np.ndarray, sample: int = 1 << 16) -> bytes:
@@ -91,6 +100,8 @@ def search_encode(x: np.ndarray, sample: int = 1 << 16) -> bytes:
             continue
         if name in ("sprintz-fire", "sprintz-ewma") and w not in (8, 16):
             continue
+        if name == "sprintz-ewma" and len(x) > EWMA_MAX_LEN:
+            continue  # per-sample scan: ineligible for long columns
         try:
             size = len(enc(probe))
         except (TypeError, ValueError):

@@ -752,9 +752,14 @@ def _run_partials_i64(
     O(nonzero blocks + total blocks), not O(n).
 
     64-bit only: int64 wraparound arithmetic is bit-identical to the
-    decoder's modular unsigned cumsum, so results match decode+aggregate
-    exactly (the same element-width wraparound the reference's C kernels
-    assume).
+    decoder's modular unsigned cumsum, so SUMS match decode+aggregate
+    exactly even across +-2^63 wraps (the same element-width wraparound
+    the reference's C kernels assume). MAX/MIN on doubledelta zero blocks
+    take the ramp ENDPOINTS, which assumes the affine ramp is monotonic
+    in int64 — a run whose values wrap past +-2^63 mid-block would report
+    a different extreme than the decoder. Purely theoretical for this
+    engine's domain (counters/sizes never approach 2^63); callers with
+    adversarial inputs should force the decode path.
 
     ``ns``: true series lengths; ``x0s``: absolute first values (0 for
     in-stream-firsts blobs where the stream embeds x0); ``d1s``: first

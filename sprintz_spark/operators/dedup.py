@@ -47,28 +47,31 @@ def _cap_buckets(
 ) -> DataFrame:
     """Drop (band, bucket) groups with more than ``max_bucket`` members.
 
-    The hot-bucket set is tiny by construction, so it broadcast-anti-joins
-    against the banded table; the drop count is logged (no silent caps)."""
-    hot = (
+    The hot-bucket set is collected once (it is tiny by construction:
+    <= n_rows/max_bucket groups, and a broadcast anti-join would have to
+    materialize the same rows on the driver anyway). Collecting lets us
+    (a) log the drop counts from the SAME pass — no extra eager job like
+    the round-2 version's hot.count() — and (b) skip the anti-join
+    entirely in the common no-hot-bucket case, so the cap is free unless
+    it actually fires (no silent caps: drops are always logged)."""
+    hot_rows = (
         banded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > max_bucket)
-        .select("band", "bucket", "n")
+        .collect()
     )
+    if not hot_rows:
+        return banded
     if log_dropped:
-        hot = hot.cache()
-        dropped = hot.agg(
-            F.count(F.lit(1)).alias("buckets"), F.sum("n").alias("rows")
-        ).first()
-        if dropped["buckets"]:
-            log.warning(
-                "%s: dropped %d over-cap LSH buckets (%d rows, cap=%d); "
-                "route their members through exact_dedup",
-                op_name, dropped["buckets"], dropped["rows"], max_bucket,
-            )
-    return banded.join(
-        F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
+        log.warning(
+            "%s: dropped %d over-cap LSH buckets (%d rows, cap=%d); "
+            "route their members through exact_dedup",
+            op_name, len(hot_rows), sum(r["n"] for r in hot_rows), max_bucket,
+        )
+    hot = banded.sparkSession.createDataFrame(
+        [(r["band"], r["bucket"]) for r in hot_rows], schema=["band", "bucket"]
     )
+    return banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

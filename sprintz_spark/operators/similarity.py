@@ -92,29 +92,31 @@ def ivf_topk(
     """Approximate top-k: scan only cells within ``hamming_probe`` bit
     flips of the query's cell (probes = sum_{i<=h} C(n_planes, i)).
 
-    The query table is collected to the driver to expand probe cells —
-    intended for interactive query sets (<= ~10^5 rows; each expands to
-    1+n_planes probe rows that broadcast). For query sets that are
-    themselves corpus-scale, assign cells distributedly (kmeans_ivf_index
-    on the query side) and join on cell instead."""
+    Probe-cell assignment is fully distributed: the same vectorized
+    pandas_udf that indexes the corpus assigns each query its base cell
+    plus the Hamming-1 neighbor cells (one bit flip per plane), exploded
+    into (query, cell) probe rows. No driver-side collect — the query
+    side can itself be corpus-scale; only the probe rows that join are
+    broadcast (still small: queries x (1+n_planes))."""
     dim = len(queries.select(q_vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
+    flips = np.left_shift(1, np.arange(n_planes, dtype=np.int32))
 
-    def q_cells(vec) -> list[int]:
-        bits = (np.asarray(vec, dtype=np.float64) @ planes.T) > 0
-        base = 0
-        for i, b in enumerate(bits):
-            base |= int(b) << i
-        cells = [base]
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ planes.T) > 0
+        base = (bits.astype(np.int32) << np.arange(n_planes, dtype=np.int32)).sum(
+            axis=1, dtype=np.int32
+        )
+        cells = base[:, None]
         if hamming_probe >= 1:
-            cells += [base ^ (1 << i) for i in range(n_planes)]
-        return cells
+            cells = np.concatenate([cells, base[:, None] ^ flips[None, :]], axis=1)
+        return pd.Series([row.tolist() for row in cells])
 
-    qrows = queries.collect()
-    probe = queries.sparkSession.createDataFrame(
-        [(r[q_id_col], r[q_vec_col], c) for r in qrows for c in q_cells(r[q_vec_col])],
-        schema=f"{q_id_col} long, {q_vec_col} array<float>, cell int",
+    probe = queries.select(
+        q_id_col, q_vec_col, F.explode(probe_cells(F.col(q_vec_col))).alias("cell")
     )
     joined = indexed.join(F.broadcast(probe), "cell")
     sim = _cosine(F.col(vec_col), F.col(q_vec_col))
