@@ -2,27 +2,66 @@
 
 Images/audio/video ride as BinaryType columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-mapInPandas stages. The actual media decode is STUBBED (codec libraries
-are not in this container): ``decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder stands
-in so the Spark-side plumbing (schema, batching, partitioning) is fully
-real and tested.
+mapInPandas stages. Real media decode dispatches at RUNTIME: when the
+codec library (PIL for images, soundfile for audio) is importable it is
+used; in this container those libs are absent, so the default paths run
+a deterministic fake decoder instead — the Spark-side plumbing (schema,
+batching, partitioning, vectorized feature math) is fully real and
+tested either way, mirroring the zstd runtime-dispatch pattern in
+codecs/extras.py.
+
+All feature/resize/sample math is batched numpy over the whole Arrow
+batch; the only per-item Python is the hash call inside the fake decoder
+itself (sha256 has no batch API), exactly like a real decoder would be
+per-item inside the C library.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
+try:  # runtime dispatch: real decoder when the library exists
+    from PIL import Image as _PIL_Image  # pragma: no cover (absent in sandbox)
+except ImportError:
+    _PIL_Image = None
+
+try:
+    import soundfile as _soundfile  # pragma: no cover (absent in sandbox)
+except ImportError:
+    _soundfile = None
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """STUB: real impl would use PIL/libjpeg (not installed)."""
-    raise NotImplementedError("image decode requires PIL/libjpeg; use fake=True paths")
+    """Real image decode via PIL when importable; raises otherwise.
+
+    Returns an (h, w, 3) uint8 RGB array."""
+    if _PIL_Image is None:
+        raise NotImplementedError(
+            "image decode requires PIL/libjpeg (not in this container); "
+            "use the fake=True paths or install pillow"
+        )
+    img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")  # pragma: no cover
+    return np.asarray(img, dtype=np.uint8)  # pragma: no cover
+
+
+def decode_audio(payload: bytes) -> np.ndarray:
+    """Real audio decode via soundfile when importable; raises otherwise.
+
+    Returns mono float64 PCM in [-1, 1]."""
+    if _soundfile is None:
+        raise NotImplementedError(
+            "audio decode requires soundfile/libsndfile (not in this "
+            "container); use the fake=True paths or install soundfile"
+        )
+    data, _sr = _soundfile.read(io.BytesIO(payload))  # pragma: no cover
+    pcm = np.asarray(data, dtype=np.float64)  # pragma: no cover
+    return pcm.mean(axis=1) if pcm.ndim > 1 else pcm  # pragma: no cover
 
 
 def _fake_decode(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
@@ -32,12 +71,19 @@ def _fake_decode(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
     return np.frombuffer((d * reps)[: h * w * 3], dtype=np.uint8).reshape(h, w, 3)
 
 
+def _decode_batch(payloads, fake: bool, h: int = 8, w: int = 8) -> np.ndarray:
+    """(n, h, w, 3) uint8 stack for the whole Arrow batch."""
+    if fake:
+        return np.stack([_fake_decode(p, h, w) for p in payloads])
+    return np.stack([decode_image(p) for p in payloads])  # pragma: no cover
+
+
 def image_features(
     df: DataFrame, payload_col: str = "payload", fake: bool = True
 ) -> DataFrame:
     """mapInPandas feature extraction: mean/std per channel + phash-like
-    64-bit signature. Schema and batch shape are production-real; only the
-    pixel source is the deterministic fake."""
+    64-bit signature. All feature math is one vectorized pass over the
+    stacked (n, 8, 8, 3) batch; only the decode itself is per-item."""
     schema = (
         ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
         + ", mean_r double, mean_g double, mean_b double, std_all double, phash long"
@@ -45,25 +91,29 @@ def image_features(
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = {"mean_r": [], "mean_g": [], "mean_b": [], "std_all": [], "phash": []}
-            for payload in pdf[payload_col]:
-                if not fake:
-                    img = decode_image(payload)  # pragma: no cover
-                else:
-                    img = _fake_decode(payload)
-                f64 = img.astype(np.float64)
-                feats["mean_r"].append(float(f64[..., 0].mean()))
-                feats["mean_g"].append(float(f64[..., 1].mean()))
-                feats["mean_b"].append(float(f64[..., 2].mean()))
-                feats["std_all"].append(float(f64.std()))
-                gray = f64.mean(axis=2)
-                bits = (gray > np.median(gray)).ravel()[:64]
-                ph = 0
-                for i, b in enumerate(bits):
-                    ph |= int(b) << i
-                feats["phash"].append(np.int64(np.uint64(ph)))
-            for k, v in feats.items():
-                pdf[k] = v
+            if not len(pdf):
+                yield pdf.assign(
+                    mean_r=[], mean_g=[], mean_b=[], std_all=[], phash=[]
+                )
+                continue
+            imgs = _decode_batch(pdf[payload_col], fake).astype(np.float64)
+            n = len(imgs)
+            means = imgs.mean(axis=(1, 2))  # (n, 3)
+            gray = imgs.mean(axis=3).reshape(n, -1)  # (n, 64)
+            med = np.median(gray, axis=1, keepdims=True)
+            bits = (gray > med)[:, :64].astype(np.uint8)
+            phash = (
+                np.packbits(bits, axis=1, bitorder="little")
+                .copy()
+                .view(np.int64)
+                .ravel()
+            )
+            pdf = pdf.copy()
+            pdf["mean_r"] = means[:, 0]
+            pdf["mean_g"] = means[:, 1]
+            pdf["mean_b"] = means[:, 2]
+            pdf["std_all"] = imgs.reshape(n, -1).std(axis=1)
+            pdf["phash"] = phash
             yield pdf
 
     return df.mapInPandas(gen, schema)
@@ -76,27 +126,53 @@ def frame_sample(
     fake: bool = True,
 ) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame.
-    Fake path synthesizes a deterministic frame count from payload size."""
+
+    Fake path synthesizes a deterministic frame count from payload size.
+    Row expansion is vectorized: per-row sample counts -> np.repeat row
+    gather + concatenated per-row aranges (no itertuples, no per-row
+    dict building); only the per-frame signature hash is a Python call,
+    as a real frame decoder would be."""
     base = ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
     schema = base + ", frame_idx int, frame_sig long"
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            cols = list(pdf.columns)
-            rows = []
-            for tup in pdf.itertuples(index=False):
-                rec = dict(zip(cols, tup))
-                payload = rec[payload_col]
-                if not fake:
-                    raise NotImplementedError("video decode not available")
-                n_frames = (len(payload or b"") % 97) + 1
-                for fi in range(0, n_frames, every_n):
-                    sig = hashlib.sha256((payload or b"") + fi.to_bytes(4, "little")).digest()
-                    rows.append({**rec, "frame_idx": fi,
-                                 "frame_sig": int.from_bytes(sig[:8], "little", signed=True)})
-            yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                columns=list(pdf.columns) + ["frame_idx", "frame_sig"]
+            if not fake:
+                raise NotImplementedError("video decode not available")
+            payloads = pdf[payload_col].to_numpy()
+            lens = np.fromiter(
+                (len(p or b"") for p in payloads), np.int64, len(payloads)
             )
+            n_frames = (lens % 97) + 1
+            n_samp = (n_frames + every_n - 1) // every_n  # frames 0, e, 2e, ...
+            if not n_samp.sum():
+                yield pd.DataFrame(
+                    columns=list(pdf.columns) + ["frame_idx", "frame_sig"]
+                )
+                continue
+            rep = np.repeat(np.arange(len(pdf), dtype=np.int64), n_samp)
+            intra = np.arange(int(n_samp.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(n_samp)[:-1]]), n_samp
+            )
+            frame_idx = intra * every_n
+            out = pdf.iloc[rep].reset_index(drop=True)
+            sigs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.sha256(
+                            (p or b"") + int(fi).to_bytes(4, "little")
+                        ).digest()[:8],
+                        "little",
+                        signed=True,
+                    )
+                    for p, fi in zip(payloads[rep], frame_idx)
+                ),
+                np.int64,
+                len(rep),
+            )
+            out["frame_idx"] = frame_idx.astype(np.int32)
+            out["frame_sig"] = sigs
+            yield out
 
     return df.mapInPandas(gen, schema)
 
@@ -110,22 +186,32 @@ def resize_images(
 ) -> DataFrame:
     """Resize plumbing: decode -> nearest-neighbor resize -> re-emit as a
     binary column of raw out_h*out_w*3 pixels plus shape metadata. The
-    RESIZE math is real numpy (index-gather nearest neighbor); only the
-    pixel source is the deterministic fake decoder."""
+    resize is one batched index-gather over the stacked batch (real
+    decoders with per-image shapes fall back to per-image gathers)."""
     base = ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
     schema = base + ", pixels binary, height int, width int, channels int"
 
+    def _resize_one(img: np.ndarray) -> bytes:
+        h, w, _c = img.shape
+        ys = (np.arange(out_h) * h) // out_h
+        xs = (np.arange(out_w) * w) // out_w
+        return img[ys][:, xs].tobytes()
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            pix = []
-            for payload in pdf[payload_col]:
-                img = _fake_decode(payload) if fake else decode_image(payload)
-                h, w, c = img.shape
+            pdf = pdf.copy()
+            if fake and len(pdf):
+                imgs = _decode_batch(pdf[payload_col], fake=True)  # (n,8,8,3)
+                h, w = imgs.shape[1], imgs.shape[2]
                 ys = (np.arange(out_h) * h) // out_h
                 xs = (np.arange(out_w) * w) // out_w
-                pix.append(img[ys][:, xs].tobytes())
-            pdf = pdf.copy()
-            pdf["pixels"] = pix
+                resized = imgs[:, ys][:, :, xs]  # (n, out_h, out_w, 3)
+                flat = resized.reshape(len(pdf), -1)
+                pdf["pixels"] = [row.tobytes() for row in flat]
+            else:
+                pdf["pixels"] = [
+                    _resize_one(decode_image(p)) for p in pdf[payload_col]
+                ]  # pragma: no cover
             pdf["height"] = np.int32(out_h)
             pdf["width"] = np.int32(out_w)
             pdf["channels"] = np.int32(3)
@@ -137,31 +223,54 @@ def resize_images(
 def audio_features(
     df: DataFrame, payload_col: str = "payload", fake: bool = True
 ) -> DataFrame:
-    """Audio plumbing: decode -> rms / zero-crossing-rate / duration.
-    Feature math is real numpy over the deterministic fake PCM (a real
-    deployment swaps in soundfile/ffmpeg for the decode only)."""
+    """Audio plumbing: decode -> rms / zero-crossing-rate / sample count.
+
+    Fake PCM buffers are variable-length, so the batch is packed into one
+    concatenated array and reduced with np.add.reduceat — same shape as
+    the codec batch encoders; no per-item feature loops."""
     base = ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
     schema = base + ", n_samples long, rms double, zcr double"
 
+    def _fake_pcm(payload: bytes) -> np.ndarray:
+        b = payload or b"\x00\x00"
+        d = hashlib.sha256(b).digest()
+        n = (len(b) % 1024) + 256  # deterministic fake sample count
+        reps = (2 * n + len(d) - 1) // len(d)
+        return np.frombuffer((d * reps)[: 2 * n], dtype=np.int16)
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ns, rms, zcr = [], [], []
-            for payload in pdf[payload_col]:
-                if not fake:
-                    raise NotImplementedError("audio decode not available")
-                b = payload or b"\x00\x00"
-                d = hashlib.sha256(b).digest()
-                n = (len(b) % 1024) + 256  # deterministic fake sample count
-                reps = (2 * n + len(d) - 1) // len(d)
-                pcm = np.frombuffer((d * reps)[: 2 * n], dtype=np.int16).astype(np.float64)
-                pcm /= 32768.0
-                ns.append(len(pcm))
-                rms.append(float(np.sqrt((pcm * pcm).mean())))
-                zcr.append(float((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).mean()))
             pdf = pdf.copy()
-            pdf["n_samples"] = np.array(ns, np.int64)
-            pdf["rms"] = rms
-            pdf["zcr"] = zcr
+            if not len(pdf):
+                pdf["n_samples"] = np.zeros(0, np.int64)
+                pdf["rms"] = np.zeros(0)
+                pdf["zcr"] = np.zeros(0)
+                yield pdf
+                continue
+            if fake:
+                pcms = [_fake_pcm(p) for p in pdf[payload_col]]
+                cat = np.concatenate(pcms).astype(np.float64) / 32768.0
+            else:  # pragma: no cover
+                pcms = [decode_audio(p) for p in pdf[payload_col]]
+                cat = np.concatenate(pcms)
+            ns = np.fromiter((len(p) for p in pcms), np.int64, len(pcms))
+            starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+            sq_sums = np.add.reduceat(cat * cat, starts)
+            signs = np.signbit(cat)
+            # flips[j] = sign change between cat[j] and cat[j+1]; pad so
+            # reduceat indices stay in range for length-1 tail segments
+            flips = np.concatenate(
+                [(signs[1:] != signs[:-1]).astype(np.int64), [0]]
+            )
+            flip_sums = np.add.reduceat(flips, starts)
+            # each segment's reduceat span [s_i, s_{i+1}) also counts the
+            # boundary flip between its last sample and the next segment's
+            # first sample (at index s_{i+1}-1); subtract it back out
+            ends = starts + ns - 1
+            flip_sums = flip_sums - flips[ends]
+            pdf["n_samples"] = ns
+            pdf["rms"] = np.sqrt(sq_sums / ns)
+            pdf["zcr"] = flip_sums / np.maximum(ns - 1, 1)
             yield pdf
 
     return df.mapInPandas(gen, schema)

@@ -63,3 +63,95 @@ def test_audio_features(spark):
     assert (out["n_samples"] >= 256).all()
     assert out["rms"].between(0, 1).all()
     assert out["zcr"].between(0, 1).all()
+
+
+def test_image_features_matches_scalar_reference(spark):
+    """The batched feature math must equal a per-image scalar reference."""
+    import hashlib
+
+    from sprintz_spark.operators.multimodal import _fake_decode
+
+    p = _payloads(spark, 30)
+    out = image_features(p).toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = p.toPandas().sort_values("doc_id").reset_index(drop=True)
+    for i in range(len(src)):
+        img = _fake_decode(src["payload"][i]).astype(np.float64)
+        assert out["mean_r"][i] == img[..., 0].mean()
+        gray = img.mean(axis=2)
+        bits = (gray > np.median(gray)).ravel()[:64]
+        ph = 0
+        for j, b in enumerate(bits):
+            ph |= int(b) << j
+        assert np.uint64(out["phash"][i]) == np.uint64(ph)
+
+
+def test_decode_dispatch_raises_without_libs():
+    from sprintz_spark.operators import multimodal as mm
+
+    if mm._PIL_Image is None:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"xx")
+    if mm._soundfile is None:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            mm.decode_audio(b"xx")
+
+
+def test_decode_dispatch_uses_real_lib_when_present(monkeypatch):
+    """Runtime dispatch: a (mocked) PIL/soundfile module is actually used."""
+    import io
+
+    from sprintz_spark.operators import multimodal as mm
+
+    class FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return np.zeros((2, 2, 3), dtype=np.uint8)
+
+    class FakePIL:
+        @staticmethod
+        def open(buf):
+            assert isinstance(buf, io.BytesIO)
+            return FakeImg()
+
+    monkeypatch.setattr(mm, "_PIL_Image", FakePIL)
+    img = mm.decode_image(b"payload")
+    assert img.shape == (2, 2, 3) and img.dtype == np.uint8
+
+    class FakeSF:
+        @staticmethod
+        def read(buf):
+            return np.ones((4, 2)), 16000
+
+    monkeypatch.setattr(mm, "_soundfile", FakeSF)
+    pcm = mm.decode_audio(b"payload")
+    assert pcm.shape == (4,)  # stereo folded to mono
+
+
+def test_frame_sample_matches_scalar_reference(spark):
+    """Vectorized row expansion == the definitional per-row loop."""
+    import hashlib
+
+    p = _payloads(spark, 15)
+    out = (
+        frame_sample(p, every_n=5)
+        .toPandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    src = p.toPandas()
+    expect = []
+    for _, row in src.iterrows():
+        payload = bytes(row["payload"])
+        n_frames = (len(payload) % 97) + 1
+        for fi in range(0, n_frames, 5):
+            sig = hashlib.sha256(payload + fi.to_bytes(4, "little")).digest()
+            expect.append(
+                (row["doc_id"], fi, int.from_bytes(sig[:8], "little", signed=True))
+            )
+    expect.sort()
+    got = list(zip(out["doc_id"], out["frame_idx"], out["frame_sig"]))
+    assert got == expect
