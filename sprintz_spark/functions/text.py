@@ -144,7 +144,14 @@ def fingerprint(text: str) -> int:
 
 
 def simhash64(text: str, shingle: int = 3) -> int:
-    """64-bit SimHash over word shingles (Charikar 2002, public)."""
+    """64-bit SimHash over word shingles (Charikar 2002, public).
+
+    Per-gram hash = first 8 bytes of md5 (big-endian), which DuckDB can
+    reproduce exactly (``('0x' || substr(md5(g), 1, 16))::UBIGINT``), so
+    the whole simhash — and therefore hamming-bounded near-dup pairs —
+    is SQL-oracle-checkable (see queries._simhash_sql)."""
+    import hashlib
+
     words = text.lower().split()
     if len(words) < shingle:
         grams = [" ".join(words)] if words else []
@@ -154,7 +161,10 @@ def simhash64(text: str, shingle: int = 3) -> int:
         return 0
     # one numpy pass over all grams (the per-gram bit loop was ~14x slower)
     hs = np.fromiter(
-        (zlib.crc32(g.encode()) | (zlib.crc32(g[::-1].encode()) << 32) for g in grams),
+        (
+            int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+            for g in grams
+        ),
         np.uint64,
         len(grams),
     )

@@ -786,9 +786,63 @@ def q_minhash_near_dup(spark, sf_dir):
 
 
 def q_simhash_buckets(spark, sf_dir):
+    """SimHash near-dup pairs at hamming <= 3, fully oracle-gated.
+
+    With 4 x 16-bit bands and max_hamming=3, pigeonhole guarantees every
+    qualifying pair shares at least one identical band, so the banded
+    join is a pure pruning step with recall exactly 1 — the result is
+    definitionally {pairs : hamming(simhash(a), simhash(b)) <= 3}. The
+    oracle recomputes the md5-gram simhash bit-for-bit in DuckDB
+    (verified equal on every doc) and brute-forces all pairs with
+    xor + bit_count."""
     from sprintz_spark.operators.dedup import simhash_candidates
 
-    return simhash_candidates(_t(spark, sf_dir, "documents"))
+    return simhash_candidates(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _simhash_sql() -> str:
+    """DuckDB replica of functions.text.simhash64 + all-pairs hamming<=3.
+
+    Per-gram hash = first 8 bytes of md5, big-endian (exactly
+    ``('0x' || substr(md5(g),1,16))::UBIGINT``); bit i of the simhash is
+    set iff more than half the grams have bit i set (the +1/-1 vote).
+    The 64 per-bit vote sums are generated as list comprehensions; bit 63
+    contributes the int64 sign term. Verified bit-equal to the Python
+    simhash64 on every document at sf0.001 and sf0.01."""
+    ones = ", ".join(
+        f"list_sum([CAST((h >> {i}) & 1 AS BIGINT) FOR h IN hs])" for i in range(64)
+    )
+    bit_terms = [
+        f"CASE WHEN 2*ones[{i + 1}] > n THEN {1 << i}::BIGINT ELSE 0 END"
+        for i in range(63)
+    ]
+    bit_terms.append(
+        "CASE WHEN 2*ones[64] > n THEN -9223372036854775808 ELSE 0::BIGINT END"
+    )
+    sh_sum = " + ".join(bit_terms)
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) = 0 THEN []
+              WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+              ELSE [array_to_string(words[i:i+2], ' ')
+                    FOR i IN generate_series(1, len(words)-2)] END AS grams
+  FROM w
+), h AS (
+  SELECT doc_id, [('0x' || substr(md5(gr), 1, 16))::UBIGINT FOR gr IN grams] AS hs
+  FROM g
+), v AS (
+  SELECT doc_id, len(hs) AS n, [{ones}] AS ones FROM h
+), s AS (
+  SELECT doc_id, CASE WHEN n = 0 THEN 0 ELSE {sh_sum} END AS sh FROM v
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
 
 
 def q_ngram_jaccard_verified(spark, sf_dir):
@@ -827,11 +881,46 @@ SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.7
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """SRP-LSH embedding near-dup at cosine >= 0.95, fully oracle-gated.
+
+    The synthetic corpus is near-orthogonal (max pairwise cosine 0.51,
+    no natural near-dups), so the query plants one deterministic
+    half-scaled copy of every vector (vec_id + 1000, x * 0.5 — exact in
+    float, and SQL-reproducible). A scaled copy projects to the same
+    sign pattern on every hyperplane (halving is exact, so no sign can
+    flip), hence lands in the same SRP bucket in every table — LSH
+    recall is exactly 1 BY CONSTRUCTION, not by corpus luck. The oracle
+    brute-forces all-pairs exact cosine over the same augmented table;
+    equality gates the banding, capping, id-only join plumbing, and the
+    exact-cosine verifier. The scaled (not byte-identical) copies prove
+    the pipeline matches on cosine, not byte equality."""
     from sprintz_spark.operators.dedup import embedding_near_dup
 
-    # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51),
-    # so use a candidate threshold that yields a non-trivial result set
-    return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(0.5)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    aug = emb.select("vec_id", "embedding").unionAll(planted)
+    return embedding_near_dup(aug, threshold=0.95)
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000, [CAST(x * 0.5 AS FLOAT) FOR x IN embedding]
+  FROM embeddings
+), d AS (  -- cosine in float64 end-to-end, like the Spark operator
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM aug
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+FROM d a JOIN d b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.95
+"""
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -879,19 +968,24 @@ def q_quality_stats(spark, sf_dir):
     )
 
 
-def _quality_sql() -> str:
+def _quality_agg_sql(dim_source: str, dim_name: str) -> str:
+    """Shared DuckDB replica of functions.text.quality_score (verified
+    bit-equal per doc): ``dim_source`` is any SQL relation producing
+    (dim, text); the result aggregates per-doc quality micro-units and
+    doc counts per dim under the output column name ``dim_name``."""
     from sprintz_spark.functions.text import STOPWORDS
 
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
     return f"""
-WITH f AS (
-  SELECT source,
+WITH src AS ({dim_source}),
+f AS (
+  SELECT dim,
          len(text) AS n_chars,
          regexp_extract_all(text, '\\S+') AS words,
          len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
-  FROM documents
+  FROM src
 ), g AS (
-  SELECT source, n_chars, n_alpha, len(words) AS n_words,
+  SELECT dim, n_chars, n_alpha, len(words) AS n_words,
          len([w for w in words
               if list_contains([{stop_list}], trim(lower(w), '.,!?;:'))]) AS n_stop,
          CASE WHEN len(words) > 0
@@ -899,7 +993,7 @@ WITH f AS (
               ELSE 0.0 END AS mean_wl
   FROM f
 ), q AS (
-  SELECT source,
+  SELECT dim,
     CASE WHEN n_words = 0 THEN 0.0
          ELSE ROUND(
            0.4 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0.0 END)
@@ -908,10 +1002,40 @@ WITH f AS (
     END AS quality
   FROM g
 )
-SELECT source, count(*) AS n_docs,
+SELECT dim AS {dim_name}, count(*) AS n_docs,
        CAST(sum(CAST(ROUND(quality * 1000000, 0) AS BIGINT)) AS BIGINT) AS quality_micros
-FROM q GROUP BY source
+FROM q GROUP BY dim
 """
+
+
+def _quality_sql() -> str:
+    return _quality_agg_sql("SELECT source AS dim, text FROM documents", "source")
+
+
+def _lang_quality_sql() -> str:
+    """DuckDB replica of functions.text.lang_id feeding the shared
+    quality pipeline: marker occurrences are counted with the
+    replace-length trick ((len(p)-len(replace(p,m,'')))/len(m), the same
+    non-overlapping left-to-right scan as str.count), the winner is the
+    FIRST language in LANG_MARKERS order attaining the max score
+    (Python's strict-> update rule), 'und' when every score is zero."""
+    from sprintz_spark.functions.text import LANG_MARKERS
+
+    def score(markers) -> str:
+        return " + ".join(
+            f"(len(p) - len(replace(p, '{m}', ''))) // {len(m)}" for m in markers
+        )
+
+    langs = list(LANG_MARKERS)
+    scores = ", ".join(f"({score(ms)}) AS s_{l}" for l, ms in LANG_MARKERS.items())
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    whens = " ".join(f"WHEN s_{l} = {mx} THEN '{l}'" for l in langs[:-1])
+    case = f"CASE WHEN {mx} <= 0 THEN 'und' {whens} ELSE '{langs[-1]}' END"
+    dim_source = f"""
+  SELECT {case} AS dim, text FROM (
+    SELECT text, {scores} FROM (
+      SELECT text, ' ' || lower(COALESCE(text, '')) || ' ' AS p FROM documents))"""
+    return _quality_agg_sql(dim_source, "lang_pred")
 
 
 def q_image_resize(spark, sf_dir):
@@ -939,15 +1063,22 @@ def q_audio_stats(spark, sf_dir):
 
 
 def q_lang_quality(spark, sf_dir):
+    """Language-ID histogram + quality mass per predicted language, fully
+    oracle-gated: the DuckDB side recomputes the marker-count language
+    heuristic (replace-length occurrence counting, first-marker
+    tie-break, 'und' on zero score) and the exact quality formula; per-doc
+    scores are summed as integer micro-units so the aggregate is
+    order-independent."""
     from sprintz_spark.operators.text_ops import with_text_features
 
     docs = _t(spark, sf_dir, "documents")
+    micros = F.round(F.col("quality") * 1e6, 0).cast("long")
     return (
         with_text_features(docs)
         .groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum(micros).alias("quality_micros"),
         )
     )
 
@@ -1023,9 +1154,13 @@ def oracles() -> dict:
         "value_percentiles": _PERCENTILE_SQL,
         "ngram_jaccard_verified": _NGRAM_JACCARD_SQL,
         "quality_stats": _quality_sql(),
-        # rows-only (no SQL equivalent): minhash_near_dup, simhash_buckets,
-        # lang_quality, embedding_near_dup,
-        # ivf_topk (approximate), image_features (fake decoder),
+        "lang_quality": _lang_quality_sql(),
+        "simhash_buckets": _simhash_sql(),
+        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        # rows-only (no SQL equivalent): minhash_near_dup (banding is the
+        # result, not a pruning step — see simhash_buckets for the gated
+        # variant), ivf_topk (approximate by design),
+        # image_features/image_resize/audio_stats (fake decoder),
         # codec_search_stats (chosen mode is engine-internal),
         # text_extract_verified (pages are generator-derived)
     }
