@@ -516,6 +516,26 @@ def encode_batch_concat(
     return _encode_padded_concat(u, ns, pads, plens, dst_starts, w, mode, deflate)
 
 
+def encode_batch_concat_auto(
+    values: np.ndarray, lengths: np.ndarray, deflate: bool = True
+) -> list[bytes]:
+    """Per-series argmin-size pick across delta/doubledelta AND fire —
+    the batch analog of choose_mode's three-candidate cost selection
+    (scalar path: operators/encode.py _encode_value_column). delta-vs-dd
+    is decided inside _encode_padded_concat from shared block costs; the
+    FIRE candidate is a real encode (fire_encode_multi batches across
+    series) and wins per series on actual blob size, so e.g. quantized
+    float columns whose residuals suit the adaptive filter get mode 3
+    exactly like the scalar path would give them."""
+    values = np.asarray(values)
+    w = values.dtype.itemsize * 8
+    base = encode_batch_concat(values, lengths, None, deflate)
+    if w not in (8, 16):
+        return base
+    fireb = encode_batch_concat_fire(values, lengths, deflate)
+    return [f if len(f) < len(b) else b for b, f in zip(base, fireb)]
+
+
 def encode_batch_concat_fire(
     values: np.ndarray, lengths: np.ndarray, deflate: bool = True
 ) -> list[bytes]:

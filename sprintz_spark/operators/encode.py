@@ -211,7 +211,9 @@ def _encode_float_batch(
         nf_sub = nonfinite[gather]
         if nf_sub.any():
             sub[nf_sub] = np.iinfo(dt).max
-        bl = sz.encode_batch_concat(sub, lens_w, None)
+        # three-way cost pick (delta/dd/fire) for narrow widths — the
+        # same candidate set the scalar path's choose_mode considers
+        bl = sz.encode_batch_concat_auto(sub, lens_w)
         for j, i in enumerate(sel):
             qp = Q.QuantizeParams(
                 str(np.dtype(dt)),

@@ -117,3 +117,65 @@ def test_float_batch_matches_per_piece_quantize():
         np.testing.assert_array_equal(got, ref, err_msg=f"piece {i}")
         finite = np.isfinite(p)
         np.testing.assert_array_equal(got[finite], p[finite], err_msg=f"piece {i}")
+
+
+def test_batch_auto_picks_fire_when_smaller():
+    """encode_batch_concat_auto must equal the per-series argmin of the
+    delta/dd cost pick and a real FIRE encode, and a FIRE-favorable
+    series must actually come out mode 3 ('fire')."""
+    import numpy as np
+
+    from sprintz_spark.codecs import sprintz as sz
+
+    rng = np.random.default_rng(5)
+    # sinusoid + noise: FIRE's adaptive filter beats delta/dd here
+    t = np.arange(4096)
+    wave = (120 + 100 * np.sin(t / 3.0) + rng.normal(0, 2, len(t))).astype(np.uint8)
+    ramp = np.arange(4096, dtype=np.uint8)  # dd-favorable
+    noise = rng.integers(0, 256, 4096).astype(np.uint8)  # incompressible
+    values = np.concatenate([wave, ramp, noise])
+    lens = np.array([4096, 4096, 4096])
+
+    auto = sz.encode_batch_concat_auto(values, lens)
+    base = sz.encode_batch_concat(values, lens, None)
+    fire = sz.encode_batch_concat_fire(values, lens)
+    for a, b, f in zip(auto, base, fire):
+        assert a == (f if len(f) < len(b) else b)
+    # the wave series must pick fire if (and only if) fire is smaller
+    if len(fire[0]) < len(base[0]):
+        assert sz.blob_mode(auto[0]) == "fire"
+    # every auto blob round-trips exactly
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    for blob, s, n in zip(auto, starts, lens):
+        out = sz.decode_column(blob).view(np.uint8)
+        assert (out == values[s : s + n]).all()
+
+
+def test_float_batch_uses_fire_mode():
+    """A FIRE-favorable quantized float column must get mode 3 through
+    the vectorized float path (verdict r2 item 8)."""
+    import numpy as np
+    import pandas as pd
+
+    from sprintz_spark.operators.encode import (
+        _decode_value_column,
+        _encode_float_batch,
+    )
+    from sprintz_spark.codecs import sprintz as sz
+
+    rng = np.random.default_rng(7)
+    t = np.arange(4096)
+    # drifting ramp + noise: FIRE's adaptive filter beats delta/dd here
+    vals = np.round(t * 0.3 + rng.normal(0, 1.5, len(t)), 0)
+    starts = np.array([0]); lens = np.array([len(vals)])
+    res = _encode_float_batch(vals.astype(np.float64), starts, lens, "float64")
+    assert res is not None
+    blobs, metas = res
+    # argmin contract: fire chosen iff its real blob is smaller
+    sub = (vals - vals.min()).astype(np.uint16)
+    base = sz.encode_batch_concat(sub, lens, None)
+    fire = sz.encode_batch_concat_fire(sub, lens)
+    want = "fire" if len(fire[0]) < len(base[0]) else sz.blob_mode(base[0])
+    assert metas[0]["mode"] == want == "fire"
+    out = _decode_value_column(blobs[0], metas[0])
+    assert (np.asarray(out, dtype=np.float64) == vals).all()
