@@ -20,7 +20,6 @@ candidate set is small and AQE-skew-safe otherwise.
 from __future__ import annotations
 
 import logging
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -100,7 +99,14 @@ def minhash_signatures(
     shingle: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig: array<long>) — vectorized MinHash over word shingles."""
+    """(id, sig: array<long>) — vectorized MinHash over word shingles.
+
+    Per-gram hash = first 8 bytes of md5 (big-endian) so the whole
+    signature — permutations included, since numpy's uint64 wrap is
+    (a*h+b) mod 2^64 which DuckDB reproduces in HUGEINT — is
+    SQL-oracle-checkable (queries._minhash_sql)."""
+    import hashlib
+
     a, b = _minhash_params(n_hashes, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -115,10 +121,14 @@ def minhash_signatures(
                     " ".join(words[i : i + shingle])
                     for i in range(len(words) - shingle + 1)
                 ]
+            gset = set(grams)
             hv = np.fromiter(
-                (zlib.crc32(g.encode()) for g in set(grams)),
+                (
+                    int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+                    for g in gset
+                ),
                 dtype=np.uint64,
-                count=len(set(grams)),
+                count=len(gset),
             )
             # k x n permutation hashes, min over shingles (one numpy shot)
             perm = (a[:, None] * hv[None, :] + b[:, None]) % np.uint64(_MERSENNE)

@@ -778,11 +778,63 @@ FROM per_session GROUP BY user_id
 # --- rows-only (non-SQL-expressible) engine ops ---------------------------
 
 def q_minhash_near_dup(spark, sf_dir):
-    """MinHash+LSH candidate near-dup pairs over documents (rows-only:
-    banding/bucketing is not reasonably SQL-expressible)."""
+    """MinHash+LSH candidate near-dup pairs over documents, fully
+    oracle-gated: md5 gram hashes and numpy's (a*h+b) mod 2^64 wrap are
+    both exactly reproducible in DuckDB (HUGEINT), so the oracle
+    recomputes every 64-perm signature bit-for-bit, replicates band
+    collision as exact signature-slice equality over all pairs, and
+    applies the same est_jaccard >= 0.4 filter. Equality gates the
+    signature UDF, the banded join (Spark buckets by xxhash64 of the
+    slice — a false bucket collision between unequal slices would
+    surface here), the cap plumbing, and the estimator."""
     from sprintz_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_sql(
+    n_hashes: int = 64, bands: int = 16, seed: int = 42, min_est: float = 0.4
+) -> str:
+    """DuckDB replica of minhash_lsh_pairs (defaults must mirror it)."""
+    from sprintz_spark.operators.dedup import _MERSENNE, _minhash_params
+
+    a, b = _minhash_params(n_hashes, seed)
+    two64 = 1 << 64
+    perms = ", ".join(
+        f"list_min([CAST((({int(a[i])}::HUGEINT * h + {int(b[i])}) % {two64})"
+        f" % {_MERSENNE} AS BIGINT) FOR h IN hs])"
+        for i in range(n_hashes)
+    )
+    est = " + ".join(
+        f"CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(n_hashes)
+    )
+    rpb = n_hashes // bands
+    band_or = " OR ".join(
+        f"a.sig[{rpb * i + 1}:{rpb * i + rpb}] = b.sig[{rpb * i + 1}:{rpb * i + rpb}]"
+        for i in range(bands)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) = 0 THEN ['']
+              WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+              ELSE list_distinct([array_to_string(words[i:i+2], ' ')
+                    FOR i IN generate_series(1, len(words)-2)]) END AS grams
+  FROM w
+), h AS (
+  SELECT doc_id, [('0x' || substr(md5(gr), 1, 16))::UBIGINT FOR gr IN grams] AS hs
+  FROM g
+), s AS (
+  SELECT doc_id, [{perms}] AS sig FROM h
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(({est}) / {n_hashes}.0, 4) AS est_jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE ({band_or}) AND ({est}) / {n_hashes}.0 >= {min_est}
+"""
 
 
 def q_simhash_buckets(spark, sf_dir):
@@ -1157,9 +1209,8 @@ def oracles() -> dict:
         "lang_quality": _lang_quality_sql(),
         "simhash_buckets": _simhash_sql(),
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
-        # rows-only (no SQL equivalent): minhash_near_dup (banding is the
-        # result, not a pruning step — see simhash_buckets for the gated
-        # variant), ivf_topk (approximate by design),
+        "minhash_near_dup": _minhash_sql(),
+        # rows-only (no SQL equivalent): ivf_topk (approximate by design),
         # image_features/image_resize/audio_stats (fake decoder),
         # codec_search_stats (chosen mode is engine-internal),
         # text_extract_verified (pages are generator-derived)
