@@ -937,7 +937,7 @@ def q_embedding_near_dup(spark, sf_dir):
 
     The synthetic corpus is near-orthogonal (max pairwise cosine 0.51,
     no natural near-dups), so the query plants one deterministic
-    half-scaled copy of every vector (vec_id + 1000, x * 0.5 — exact in
+    half-scaled copy of every vector (vec_id + 2^40, x * 0.5 — exact in
     float, and SQL-reproducible). A scaled copy projects to the same
     sign pattern on every hyperplane (halving is exact, so no sign can
     flip), hence lands in the same SRP bucket in every table — LSH
@@ -950,20 +950,23 @@ def q_embedding_near_dup(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     planted = emb.select(
-        (F.col("vec_id") + 1000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(1099511627776)).alias("vec_id"),  # +2^40: disjoint from real ids at any SF
         F.transform("embedding", lambda x: (x * F.lit(0.5)).cast("float")).alias(
             "embedding"
         ),
     )
     aug = emb.select("vec_id", "embedding").unionAll(planted)
-    return embedding_near_dup(aug, threshold=0.95)
+    # 12 planes -> 4096 cells/table keeps bucket occupancy ~1 at this
+    # corpus size, so the verify stage sees ~O(n) candidates; planted
+    # copies still collide in every table whatever the plane count
+    return embedding_near_dup(aug, threshold=0.95, n_planes=12)
 
 
 _EMB_NEAR_DUP_SQL = """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000, [CAST(x * 0.5 AS FLOAT) FOR x IN embedding]
+  SELECT vec_id + 1099511627776, [CAST(x * 0.5 AS FLOAT) FOR x IN embedding]
   FROM embeddings
 ), d AS (  -- cosine in float64 end-to-end, like the Spark operator
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM aug
