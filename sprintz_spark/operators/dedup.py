@@ -42,7 +42,11 @@ DEFAULT_MAX_BUCKET = 1000
 
 
 def _cap_buckets(
-    banded: DataFrame, max_bucket: int, op_name: str, log_dropped: bool
+    banded: DataFrame,
+    max_bucket: int,
+    op_name: str,
+    log_dropped: bool,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Drop (band, bucket) groups with more than ``max_bucket`` members.
 
@@ -59,6 +63,10 @@ def _cap_buckets(
         .where(F.col("n") > max_bucket)
         .collect()
     )
+    if drop_stats is not None:  # programmatic recall-loss observability
+        drop_stats["dropped_buckets"] = len(hot_rows)
+        drop_stats["dropped_rows"] = int(sum(r["n"] for r in hot_rows))
+        drop_stats["max_bucket"] = max_bucket
     if not hot_rows:
         return banded
     if log_dropped:
@@ -149,6 +157,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     log_dropped: bool = True,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b, est_jaccard) via banded LSH.
 
@@ -175,7 +184,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    banded = _cap_buckets(banded, max_bucket, "minhash_lsh_pairs", log_dropped)
+    banded = _cap_buckets(banded, max_bucket, "minhash_lsh_pairs", log_dropped, drop_stats)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -247,6 +256,7 @@ def simhash_candidates(
     max_hamming: int = 8,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     log_dropped: bool = True,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: 4x16-bit bands; pairs colliding in any
     band are Hamming-verified. Returns (doc_a, doc_b, hamming).
@@ -272,7 +282,7 @@ def simhash_candidates(
             )
         ).alias("band", "bucket"),
     )
-    bands = _cap_buckets(bands, max_bucket, "simhash_candidates", log_dropped)
+    bands = _cap_buckets(bands, max_bucket, "simhash_candidates", log_dropped, drop_stats)
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
@@ -308,6 +318,7 @@ def embedding_near_dup(
     seed: int = 7,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     log_dropped: bool = True,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs via signed-random-projection LSH, then exact
     cosine verification inside buckets.
@@ -340,7 +351,7 @@ def embedding_near_dup(
         F.lit(0).alias("band"),  # table id already lives in bkt's high bits
         F.explode(buckets(F.col(vec_col))).alias("bucket"),
     )
-    b = _cap_buckets(b, max_bucket, "embedding_near_dup", log_dropped)
+    b = _cap_buckets(b, max_bucket, "embedding_near_dup", log_dropped, drop_stats)
     l, r = b.alias("l"), b.alias("r")
     pairs = (
         l.join(

@@ -69,3 +69,28 @@ def test_embedding_cap_noop(spark):
         emb, threshold=0.3, max_bucket=10**9, log_dropped=False
     ).collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+
+
+def test_drop_stats_reported_as_data(spark):
+    """Recall loss from the bucket cap is observable programmatically."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("same text for every doc here").alias("text")
+    )
+    stats = {}
+    pairs = minhash_lsh_pairs(
+        docs, max_bucket=50, log_dropped=False, drop_stats=stats
+    )
+    pairs.count()
+    assert stats["dropped_buckets"] > 0
+    assert stats["dropped_rows"] > 50
+    assert stats["max_bucket"] == 50
+
+    stats2 = {}
+    distinct = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique words document number "), F.col("id").cast("string")).alias("text"),
+    )
+    minhash_lsh_pairs(distinct, max_bucket=50, drop_stats=stats2).count()
+    assert stats2["dropped_buckets"] == 0 and stats2["dropped_rows"] == 0
