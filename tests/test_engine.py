@@ -230,3 +230,93 @@ def test_query_encoded_container(spark, pages_small):
         ).toPandas().sort_values("url").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_npy_feather_smart_dfsets(spark, tmp_path):
+    """NpyDfSet/FeatherDfSet/SmartDfSet analogs (reference
+    python/dfset.py:445-560): round-trips + the Smart numpy-vs-feather
+    write rule."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sprintz_spark.sources.io import (
+        read_npy,
+        read_smart,
+        read_table,
+        write_smart,
+        write_table,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("value"), (F.col("id") * 2).cast("double").alias("d")
+    )
+    # npy: single numeric column
+    p = str(tmp_path / "col.npy")
+    write_table(df.select("value"), p, fmt="npy")
+    back = read_npy(spark, p)
+    assert back.toPandas()["value"].tolist() == list(range(100))
+
+    # feather: whole frame, extension-dispatched
+    p2 = str(tmp_path / "frame.feather")
+    write_table(df, p2)
+    back2 = read_table(spark, p2)
+    assert back2.count() == 100 and set(back2.columns) == {"value", "d"}
+
+    # smart: numeric -> .npy, strings -> .feather (reference write rule)
+    base_num = str(tmp_path / "smart_num")
+    chosen = write_smart(df, base_num, "value")
+    assert chosen.endswith(".npy")
+    assert read_smart(spark, base_num).count() == 100
+
+    sdf = spark.range(10).select(
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("value")
+    )
+    base_str = str(tmp_path / "smart_str")
+    chosen2 = write_smart(sdf, base_str, "value")
+    assert chosen2.endswith(".feather")
+    got = read_smart(spark, base_str).toPandas()["value"].tolist()
+    assert got[0] == "doc-0" and len(got) == 10
+
+
+def test_spark_submit_py_files_package(tmp_path):
+    """The north-star packaging claim, exercised for real: spark-submit
+    --py-files <package zip> runs a driver script that imports the engine
+    from the shipped zip (cwd outside the repo) and executes a query."""
+    import subprocess
+    import sys
+
+    from sprintz_spark.session import package_zip
+
+    zip_path = package_zip()
+    script = tmp_path / "job.py"
+    script.write_text(
+        """
+import json
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+from sprintz_spark.sources.pages import generate_pages
+from sprintz_spark.operators import rollup as R
+pages = generate_pages(spark, 2000)
+n = R.derive_series(pages, "1m").count()
+print(json.dumps({"rows": int(n)}))
+spark.stop()
+"""
+    )
+    res = subprocess.run(
+        [
+            "/opt/spark/bin/spark-submit",
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            str(script),
+        ],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    import json as _json
+
+    lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no JSON line; stderr tail: {res.stderr[-2000:]}"
+    assert _json.loads(lines[-1])["rows"] > 0
