@@ -54,6 +54,24 @@ def _shuffle_zstd():
     )
 
 
+def _huffman():
+    from sprintz_spark.codecs import huffman as hf
+
+    return (
+        lambda x: hf.huffman_encode(x.view(np.uint8)),
+        lambda b, dt, n: hf.huffman_decode(b).view(dt),
+    )
+
+
+def _shuffle_huffman():
+    from sprintz_spark.codecs import huffman as hf
+
+    return (
+        lambda x: hf.huffman_encode(extras.byteshuffle_encode(x)),
+        lambda b, dt, n: extras.byteshuffle_decode(hf.huffman_decode(b), dt, n),
+    )
+
+
 def _gorilla():
     return (
         lambda x: gorilla.encode(x.astype(np.float64, copy=False)),
@@ -76,6 +94,8 @@ PIPELINES: list[tuple[str, tuple]] = [
     ("gorilla", _gorilla()),  # float64 only
     ("sprintz-ewma", _sz("ewma")),  # u8/u16 only (online.hpp moving avg)
     ("byteshuffle-zstd", _shuffle_zstd()),  # true zstd when importable
+    ("huffman", _huffman()),  # canonical Huffman (the paper's entropy stage)
+    ("byteshuffle-huffman", _shuffle_huffman()),
 ]
 
 # ewma's IIR scan is per-sample Python (no per-block state boundary, so it

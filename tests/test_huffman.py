@@ -1,0 +1,89 @@
+"""Canonical Huffman entropy coder (codecs/huffman.py) — the reference
+paper's entropy stage (reference README: sprintz = delta/FIRE + bitpack
++ entropy coding; the repo's C++ ships Huffman only in paper experiments,
+so this engine implements it directly)."""
+
+import numpy as np
+import pytest
+
+from sprintz_spark.codecs import search as S
+from sprintz_spark.codecs.huffman import (
+    BLOCK_SYMS,
+    MAX_LEN,
+    _canonical_codes,
+    _code_lengths,
+    huffman_decode,
+    huffman_encode,
+)
+
+rng = np.random.default_rng(33)
+
+CASES = [
+    np.zeros(0, np.uint8),
+    np.array([7], np.uint8),
+    np.full(100_000, 42, np.uint8),
+    rng.choice(np.array([3, 200], np.uint8), 50_000),
+    rng.integers(0, 256, 100_000).astype(np.uint8),
+    np.arange(256, dtype=np.uint8),
+    rng.integers(0, 16, BLOCK_SYMS).astype(np.uint8),
+    rng.integers(0, 16, BLOCK_SYMS + 1).astype(np.uint8),
+    rng.integers(0, 16, BLOCK_SYMS - 1).astype(np.uint8),
+]
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_roundtrip(i):
+    x = CASES[i]
+    np.testing.assert_array_equal(huffman_decode(huffman_encode(x)), x)
+
+
+def test_roundtrip_skewed_compresses():
+    p = 1.0 / np.arange(1, 257) ** 1.5
+    x = rng.choice(256, 200_000, p=p / p.sum()).astype(np.uint8)
+    blob = huffman_encode(x)
+    np.testing.assert_array_equal(huffman_decode(blob), x)
+    assert len(blob) < 0.6 * len(x)  # entropy ~4 bits/sym
+
+
+def test_depth_cap_extreme_skew():
+    # exponential histogram would build a >15-deep tree without the cap
+    reps = (2 ** np.linspace(0, 20, 64)).astype(int)
+    x = np.repeat(np.arange(64, dtype=np.uint8), reps)
+    lens = _code_lengths(np.bincount(x, minlength=256))
+    assert lens.max() <= MAX_LEN
+    np.testing.assert_array_equal(huffman_decode(huffman_encode(x)), x)
+
+
+def test_codes_are_prefix_free():
+    p = 1.0 / np.arange(1, 257) ** 2
+    x = rng.choice(256, 50_000, p=p / p.sum()).astype(np.uint8)
+    lens = _code_lengths(np.bincount(x, minlength=256))
+    codes = _canonical_codes(lens)
+    used = [(int(codes[s]), int(lens[s])) for s in range(256) if lens[s]]
+    # Kraft equality/inequality + pairwise prefix-freedom
+    assert sum(2.0 ** -l for _, l in used) <= 1.0 + 1e-12
+    bitstrs = [format(c, f"0{l}b") for c, l in used]
+    for i, a in enumerate(bitstrs):
+        for b in bitstrs[i + 1:]:
+            assert not a.startswith(b) and not b.startswith(a)
+
+
+def test_search_pipeline_roundtrip_and_id_stability():
+    names = [n for n, _ in S.PIPELINES]
+    # append-only contract: ids 10/11 are the huffman entries
+    assert names.index("huffman") == 10
+    assert names.index("byteshuffle-huffman") == 11
+    # skewed low-entropy int column: huffman pipelines must roundtrip
+    x = rng.choice(np.array([0, 1, 2, 255], np.int64), 9_000)
+    for name in ("huffman", "byteshuffle-huffman"):
+        enc, dec = dict(S.PIPELINES)[name]
+        np.testing.assert_array_equal(dec(enc(x), x.dtype, len(x)), x)
+    # and the search container still roundtrips end-to-end
+    np.testing.assert_array_equal(S.search_decode(S.search_encode(x)), x)
+
+
+def test_search_report_includes_huffman():
+    x = rng.integers(0, 4, 5000).astype(np.uint8)
+    rep = S.search_report(x)
+    assert "huffman" in rep and "byteshuffle-huffman" in rep
+    assert rep["huffman"] < rep["raw_bytes"]
