@@ -104,13 +104,24 @@ PIPELINES: list[tuple[str, tuple]] = [
 EWMA_MAX_LEN = 1 << 17
 
 
-def search_encode(x: np.ndarray, sample: int = 1 << 16) -> bytes:
+def search_encode(
+    x: np.ndarray, sample: int = 1 << 16, pipeline: str | None = None
+) -> bytes:
     """Try every applicable pipeline (on a bounded sample for very long
-    columns, then encode fully with the winner); return the container."""
+    columns, then encode fully with the winner); return the container.
+    ``pipeline`` forces a named pipeline instead of probing (used by
+    tests/queries that gate one codec end-to-end)."""
     x = np.ascontiguousarray(x)
     dt = x.dtype
     is_float = dt.kind == "f"
     w = dt.itemsize * 8
+    if pipeline is not None:
+        names = [n for n, _ in PIPELINES]
+        best_i = names.index(pipeline)
+        enc, _dec = PIPELINES[best_i][1]
+        payload = enc(x)
+        head = bytes([best_i, _DTYPE_CODE[dt]]) + np.uint32(len(x)).tobytes()
+        return head + payload
     probe = x[:sample] if len(x) > sample else x
     best_i, best_size = None, None
     for i, (name, (enc, _dec)) in enumerate(PIPELINES):

@@ -60,10 +60,18 @@ def _encode_value_column(s: pd.Series, force: str | None = None) -> tuple[bytes,
     """quantize → mode search → SZ1; fallback to gorilla for floats.
 
     ``force``: 'gorilla' bypasses the quantizer (Gorilla XOR float codec),
-    'quantize' requires the decimal quantizer to succeed (raises otherwise).
+    'quantize' requires the decimal quantizer to succeed (raises otherwise),
+    'search' routes through the CodecSearch max-ratio container (reference
+    python/codec.py:439-535), 'search:NAME' forces that one pipeline
+    (e.g. 'search:huffman' for the canonical-Huffman entropy stage).
     """
     if force == "gorilla":
         return gorilla.encode(s.to_numpy(np.float64)), {"codec": "gorilla"}
+    if force is not None and force.startswith("search"):
+        from sprintz_spark.codecs import search as CS
+
+        name = force.partition(":")[2] or None
+        return CS.search_encode(s.to_numpy(), pipeline=name), {"codec": "search"}
     kind = s.dtype.kind
     if kind in "iu" and not s.isna().any():
         vals = s.to_numpy()
@@ -94,6 +102,10 @@ def _encode_value_column(s: pd.Series, force: str | None = None) -> tuple[bytes,
 def _decode_value_column(buf: bytes, meta: dict) -> pd.Series:
     if meta["codec"] == "gorilla":
         return pd.Series(gorilla.decode(buf))
+    if meta["codec"] == "search":
+        from sprintz_spark.codecs import search as CS
+
+        return pd.Series(CS.search_decode(buf))
     u = sz.decode_column(buf)
     arr = u.view(np.dtype(meta["np_dtype"]))
     if "qparams" in meta:

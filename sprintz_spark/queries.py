@@ -249,6 +249,51 @@ def q_container_roundtrip(spark, sf_dir):
     )
 
 
+def q_huffman_roundtrip(spark, sf_dir):
+    """Canonical-Huffman entropy stage (codecs/huffman.py — the sprintz
+    paper's entropy coder, done for real) forced as the per-chunk codec
+    through the CodecSearch container; decoded aggregates must equal raw
+    SQL, gating the Huffman encode/decode end-to-end through Spark."""
+    from sprintz_spark.operators.encode import decode_series, encode_series
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("bucket"), _cents().alias("cents")
+    )
+    enc = encode_series(
+        ev, key_cols=["user_id"], value_cols=["cents"],
+        codecs={"cents": "search:byteshuffle-huffman"},
+    )
+    dec = decode_series(enc, key_cols=["user_id"], value_cols=["cents"])
+    return dec.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("cents").alias("cents_sum"),
+        F.min("bucket").alias("ts_min"),
+        F.max("bucket").alias("ts_max"),
+    )
+
+
+def q_codec_search_roundtrip(spark, sf_dir):
+    """CodecSearch max-ratio path (reference python/codec.py:439-535): every
+    chunk probes all applicable pipelines and keeps the smallest; decode
+    dispatches by the stored pipeline id. Equality with raw SQL gates the
+    whole try-K-keep-best machinery, not just one codec."""
+    from sprintz_spark.operators.encode import decode_series, encode_series
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("bucket"), _cents().alias("cents")
+    )
+    enc = encode_series(
+        ev, key_cols=["user_id"], value_cols=["cents"], codecs={"cents": "search"}
+    )
+    dec = decode_series(enc, key_cols=["user_id"], value_cols=["cents"])
+    return dec.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("cents").alias("cents_sum"),
+        F.min("bucket").alias("ts_min"),
+        F.max("bucket").alias("ts_max"),
+    )
+
+
 def q_query_on_compressed(spark, sf_dir):
     """Aggregates computed from compressed blobs (fused decode+aggregate,
     no materialization) — the reference's REDUCE_SUM/REDUCE_MAX path."""
@@ -1148,6 +1193,8 @@ def queries() -> dict:
         "topk_heavy_users": q_topk_heavy_users,
         "sprintz_roundtrip": q_sprintz_roundtrip,
         "container_roundtrip": q_container_roundtrip,
+        "huffman_roundtrip": q_huffman_roundtrip,
+        "codec_search_roundtrip": q_codec_search_roundtrip,
         "query_on_compressed": q_query_on_compressed,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "quantize_roundtrip": q_quantize_roundtrip,
@@ -1190,6 +1237,8 @@ def oracles() -> dict:
         "topk_heavy_users": _TOPK_SQL,
         "sprintz_roundtrip": _ROUNDTRIP_SQL,
         "container_roundtrip": _ROUNDTRIP_SQL,
+        "huffman_roundtrip": _ROUNDTRIP_SQL,
+        "codec_search_roundtrip": _ROUNDTRIP_SQL,
         "query_on_compressed": _QOC_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,
         "quantize_roundtrip": _QUANTIZE_SQL,

@@ -82,6 +82,21 @@ def test_search_pipeline_roundtrip_and_id_stability():
     np.testing.assert_array_equal(S.search_decode(S.search_encode(x)), x)
 
 
+def test_encode_value_column_forced_search():
+    import pandas as pd
+
+    from sprintz_spark.operators.encode import (
+        _decode_value_column,
+        _encode_value_column,
+    )
+
+    s = pd.Series(np.cumsum(rng.integers(-5, 6, 4000)).astype(np.int64))
+    for force in ("search", "search:huffman", "search:byteshuffle-huffman"):
+        buf, meta = _encode_value_column(s, force)
+        assert meta == {"codec": "search"}
+        np.testing.assert_array_equal(_decode_value_column(buf, meta), s)
+
+
 def test_search_report_includes_huffman():
     x = rng.integers(0, 4, 5000).astype(np.uint8)
     rep = S.search_report(x)
