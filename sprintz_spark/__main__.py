@@ -106,6 +106,28 @@ def cmd_verify(args) -> dict:
     }
 
 
+def cmd_compact(args) -> dict:
+    from sprintz_spark.plans.retention import compact_tiers
+
+    spark = _spark(args)
+    t0 = time.perf_counter()
+    rep = compact_tiers(
+        spark,
+        args.out,
+        args.snapshots,
+        args.dest,
+        n_buckets=args.n_buckets,
+    )
+    wall = time.perf_counter() - t0
+    return {
+        "job": "compact",
+        "dest_snapshot_id": args.dest,
+        "source_snapshots": args.snapshots,
+        "secs": round(wall, 2),
+        "tiers": rep,
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sprintz_spark")
     p.add_argument("--master", default=None, help="Spark master (default: env/local)")
@@ -122,12 +144,17 @@ def main(argv=None) -> int:
     sub.choices["fused"].add_argument("--codec", default="fire")
     sv = sub.add_parser("verify")
     sv.add_argument("--enc", required=True)
+    sc = sub.add_parser("compact")
+    sc.add_argument("--out", required=True, help="retention store dir")
+    sc.add_argument("--snapshots", nargs="+", required=True,
+                    help="source snapshot ids, oldest to newest")
+    sc.add_argument("--dest", required=True, help="compacted snapshot id")
+    sc.add_argument("--n-buckets", type=int, default=64)
     args = p.parse_args(argv)
     if args.cmd in ("retention", "fused") and not (args.input or args.generate):
         p.error("one of --input / --generate is required")
-    out = {"retention": cmd_retention, "fused": cmd_fused, "verify": cmd_verify}[
-        args.cmd
-    ](args)
+    out = {"retention": cmd_retention, "fused": cmd_fused, "verify": cmd_verify,
+           "compact": cmd_compact}[args.cmd](args)
     print(json.dumps(out))
     return 0 if out.get("all_ok", True) else 1
 

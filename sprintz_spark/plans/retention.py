@@ -214,6 +214,107 @@ def query_tier(
     return query_encoded(enc, value_col, key_cols=["url"])
 
 
+def compact_tiers(
+    spark: SparkSession,
+    out_dir: str,
+    snapshot_ids: list[str],
+    dest_snapshot_id: str,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    n_buckets: int = 8,
+    chunk_rows: int = DEFAULT_CHUNK,
+) -> dict:
+    """Merge several snapshots' encoded tiers into one compacted snapshot.
+
+    The small-files problem at scale: incremental retention runs write one
+    snapshot per ingest slice, so a partition's series ends up split into
+    many short chunks (each paying head + first-value overhead, and each a
+    separate parquet row). Compaction decodes the source snapshots,
+    merges, re-chunks at full ``chunk_rows``, and writes a single
+    container-format snapshot — same read API (`read_tier_decoded` /
+    `query_tier` / `read_tier_range`) afterwards.
+
+    Conflict rule: ``snapshot_ids`` is oldest-to-newest; when the same
+    (url, bucket) point exists in several source snapshots (re-crawl,
+    backfill), the NEWEST snapshot's values win — resolved with one
+    max_by aggregation (single shuffle), not a window.
+
+    Lineage: the compacted snapshot appends normal manifest rows under
+    ``dest_snapshot_id`` plus a ``lineage`` JSON (source snapshot ids,
+    per-tier chunk counts before/after) at snap=<dest>/lineage.json.
+
+    Returns {tier: {src_chunks, dst_chunks, rows}}.
+    """
+    import json as _json
+
+    report: dict = {}
+    lineage: dict = {"source_snapshots": list(snapshot_ids), "tiers": {}}
+    for tier in tiers:
+        t0 = time.perf_counter()
+        decs = []
+        src_chunks = 0
+        for ord_, sid in enumerate(snapshot_ids):
+            enc = spark.read.parquet(
+                os.path.join(out_dir, f"snap={sid}", f"encoded_tier={tier}")
+            )
+            src_chunks += enc.count()
+            dec = (
+                decode_series_container(enc, key_cols=["url"], value_cols=MEASURES)
+                if "keys" in enc.columns
+                else decode_series(enc, key_cols=["url"], value_cols=MEASURES)
+            )
+            decs.append(dec.withColumn("_snap_ord", F.lit(ord_)))
+        merged = decs[0]
+        for d in decs[1:]:
+            merged = merged.unionByName(d)
+        # newest-snapshot-wins per (url, bucket): one hash aggregation
+        merged = merged.groupBy("url", "bucket").agg(
+            *[F.max_by(c, "_snap_ord").alias(c) for c in MEASURES]
+        )
+        merged = merged.withColumn(
+            "part", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+        )
+        enc_path = os.path.join(
+            out_dir, f"snap={dest_snapshot_id}", f"encoded_tier={tier}"
+        )
+        enc = encode_series_container(
+            merged,
+            key_cols=["url"],
+            part_col="part",
+            value_cols=MEASURES,
+            chunk_rows=chunk_rows,
+        )
+        enc.write.partitionBy("part").mode("overwrite").parquet(enc_path)
+        enc_done = spark.read.parquet(enc_path)
+        stats = (
+            enc_done.groupBy("part")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum("n").alias("n_rows"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("comp_bytes").alias("comp_bytes"),
+                F.sum("encode_secs").alias("encode_secs"),
+                F.min("start_bucket").alias("min_bucket"),
+            )
+            .withColumn("tier", F.lit(tier))
+            .withColumn("snapshot_id", F.lit(dest_snapshot_id))
+            .withColumn("wall_secs", F.lit(time.perf_counter() - t0))
+        )
+        stats.write.mode("append").parquet(_manifest_path(out_dir))
+        agg = enc_done.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("n").alias("r")
+        ).collect()[0]
+        report[tier] = {
+            "src_chunks": src_chunks,
+            "dst_chunks": agg["c"],
+            "rows": agg["r"],
+        }
+        lineage["tiers"][tier] = report[tier]
+    lin_path = os.path.join(out_dir, f"snap={dest_snapshot_id}", "lineage.json")
+    with open(lin_path, "w") as f:
+        _json.dump(lineage, f)
+    return report
+
+
 def read_tier_range(
     spark: SparkSession,
     out_dir: str,

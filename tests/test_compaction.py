@@ -1,0 +1,102 @@
+"""Tier compaction: merge per-ingest snapshots into one re-chunked
+snapshot (the small-files fix for incremental retention), newest-snapshot
+wins on (url, bucket) conflicts, lineage recorded."""
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sprintz_spark.operators import rollup as R
+from sprintz_spark.plans import retention as RT
+
+
+def _decode_tier(spark, out_dir, tier, snap):
+    df = RT.read_tier_decoded(spark, out_dir, snap, tier)
+    return (
+        df.toPandas()
+        .sort_values(["url", "bucket"])
+        .reset_index(drop=True)[["url", "bucket", *RT.MEASURES]]
+    )
+
+
+def test_compact_disjoint_snapshots_equals_full_rollup(
+    spark, pages_small, tmp_path
+):
+    out = str(tmp_path / "store")
+    # split at a DAY boundary: every tier's buckets nest inside days, so
+    # the two slices produce disjoint (url, bucket) sets at all tiers and
+    # compaction must reproduce the single-run rollup exactly
+    split = pages_small.agg(
+        F.date_trunc("day", F.min("warc_ts")) + F.expr("INTERVAL 2 DAYS")
+    ).collect()[0][0]
+    older = pages_small.where(F.col("warc_ts") < F.lit(split))
+    newer = pages_small.where(F.col("warc_ts") >= F.lit(split))
+    assert older.count() > 0 and newer.count() > 0
+
+    RT.run_retention(older, out, snapshot_id="s1", n_buckets=4, chunk_rows=8)
+    RT.run_retention(newer, out, snapshot_id="s2", n_buckets=4, chunk_rows=8)
+    rep = RT.compact_tiers(
+        spark, out, ["s1", "s2"], "compact1", n_buckets=4
+    )
+
+    tiers = R.rollup_tiers(pages_small)
+    for tier in ("1m", "1h", "1d"):
+        expect = (
+            tiers[tier]
+            .toPandas()
+            .sort_values(["url", "bucket"])
+            .reset_index(drop=True)
+        )
+        got = _decode_tier(spark, out, tier, "compact1")
+        pd.testing.assert_frame_equal(expect[got.columns], got)
+        # re-chunking merged the per-snapshot fragments
+        assert rep[tier]["dst_chunks"] <= rep[tier]["src_chunks"]
+        assert rep[tier]["rows"] == len(expect)
+    # the fragmented 1m tier genuinely compacted (chunk_rows=8 on encode)
+    assert rep["1m"]["dst_chunks"] < rep["1m"]["src_chunks"]
+
+    # compacted snapshot serves the same read APIs
+    q = RT.query_tier(spark, out, "compact1", "1h", "crawl_count").toPandas()
+    full = (
+        tiers["1h"]
+        .groupBy("url")
+        .agg(F.sum("crawl_count").alias("crawl_count_sum"))
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    got_q = q.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got_q["crawl_count_sum"].astype("int64"),
+        full["crawl_count_sum"].astype("int64"),
+    )
+
+    # lineage recorded
+    lin = json.load(open(os.path.join(out, "snap=compact1", "lineage.json")))
+    assert lin["source_snapshots"] == ["s1", "s2"]
+    assert set(lin["tiers"]) == {"1m", "1h", "1d"}
+
+    # manifest rows exist for the compacted snapshot (same schema)
+    man = RT.read_manifest(spark, out)
+    assert (
+        man.where(F.col("snapshot_id") == "compact1").count() > 0
+    )
+
+
+def test_compact_conflict_newest_snapshot_wins(spark, pages_small, tmp_path):
+    out = str(tmp_path / "store")
+    # same pages, but s2's byte sizes are shifted -> every (url, bucket)
+    # conflicts and the compacted values must equal s2's
+    RT.run_retention(pages_small, out, snapshot_id="s1", n_buckets=2)
+    bumped = pages_small.withColumn(
+        "html", F.concat(F.col("html"), F.lit(b"xxxx"))
+    )
+    RT.run_retention(bumped, out, snapshot_id="s2", n_buckets=2)
+    RT.compact_tiers(spark, out, ["s1", "s2"], "c", tiers=("1m",), n_buckets=2)
+
+    got = _decode_tier(spark, out, "1m", "c")
+    want = _decode_tier(spark, out, "1m", "s2")
+    pd.testing.assert_frame_equal(want, got)
+    assert not got.equals(_decode_tier(spark, out, "1m", "s1"))
