@@ -16,7 +16,6 @@ oracle where expressible.
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -137,10 +136,18 @@ def token_count_bpe(text: str) -> int:
 # --- document fingerprinting ----------------------------------------------
 
 def fingerprint(text: str) -> int:
-    """Deterministic 32-bit rolling-hash document fingerprint (crc32 over
-    normalized text — stable across partitions/runs)."""
+    """Deterministic 63-bit document fingerprint over normalized text
+    (lower-cased, whitespace-collapsed) — stable across partitions/runs.
+
+    md5-first-8-bytes masked to 63 bits so the value is SQL-oracle
+    checkable (DuckDB: ``('0x' || substr(md5(norm), 1, 16))::UBIGINT &
+    0x7fff...``) and fits a Spark LongType without sign games (the same
+    md5 trick as simhash64/minhash)."""
+    import hashlib
+
     norm = " ".join(text.lower().split())
-    return zlib.crc32(norm.encode("utf-8"))
+    h = int.from_bytes(hashlib.md5(norm.encode("utf-8")).digest()[:8], "big")
+    return h & 0x7FFFFFFFFFFFFFFF
 
 
 def simhash64(text: str, shingle: int = 3) -> int:

@@ -665,6 +665,30 @@ SELECT n_copies, count(*) AS n_groups FROM (
 """
 
 
+def q_fingerprint_dups(spark, sf_dir):
+    """Document fingerprinting (functions/text.py::fingerprint — 63-bit
+    md5 of normalized text) surfaced as a dedup grouping; the oracle
+    recomputes every fingerprint VALUE in SQL, so this gates the Python
+    function bit-for-bit, not just group structure."""
+    from sprintz_spark.operators.text_ops import fingerprint_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(fingerprint_udf(F.col("text")).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .orderBy(F.desc("n_copies"), "fingerprint")
+        .limit(20)
+    )
+
+
+_FINGERPRINT_SQL = r"""
+SELECT CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16))::UBIGINT
+            & 9223372036854775807 AS BIGINT) AS fingerprint,
+       count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY n_copies DESC, fingerprint LIMIT 20
+"""
+
+
 # --- similarity search over embeddings ------------------------------------
 
 def q_ann_topk(spark, sf_dir):
@@ -1209,6 +1233,7 @@ def queries() -> dict:
         "token_stats": q_token_stats,
         "exact_dup_docs": q_exact_dup_docs,
         "normalized_dup_docs": q_normalized_dup_docs,
+        "fingerprint_dups": q_fingerprint_dups,
         "ann_topk": q_ann_topk,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "asof_join": q_asof_join,
@@ -1251,6 +1276,7 @@ def oracles() -> dict:
         "token_stats": _TOKEN_STATS_SQL,
         "exact_dup_docs": _EXACT_DUP_SQL,
         "normalized_dup_docs": _NORM_DUP_SQL,
+        "fingerprint_dups": _FINGERPRINT_SQL,
         "ann_topk": _ANN_SQL,
         "ivf_kmeans_topk": _ANN_SQL,
         "asof_join": _ASOF_SQL,
