@@ -82,6 +82,22 @@ def test_search_pipeline_roundtrip_and_id_stability():
     np.testing.assert_array_equal(S.search_decode(S.search_encode(x)), x)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.binary(min_size=0, max_size=20_000),
+    )
+    def test_roundtrip_property(data):
+        x = np.frombuffer(data, np.uint8)
+        np.testing.assert_array_equal(huffman_decode(huffman_encode(x)), x)
+
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_encode_value_column_forced_search():
     import pandas as pd
 
