@@ -24,8 +24,13 @@ code construction):
   sqrt) until the tree fits — the standard depth-limiting heuristic —
   so the decode table is at most 2^15 entries.
 
-Container: 'HUF1' magic | u32 n_symbols | u8 n_lens_bytes... (256 nibble-
-packed code lengths) | u16 n_blocks | varint bit-offsets | payload bits.
+Container: 'HUF1' magic | u32 n_symbols | u16 block_syms | 128 B nibble-
+packed code lengths | u32 n_blocks | varint bit-offset deltas | payload.
+
+The sub-block size adapts per blob (power of two, 64..4096, targeting
+~512 blocks): decode's vectorized loop runs block_syms iterations over
+n_blocks-wide gathers, so small blobs must not pay a fixed 4096
+iterations of numpy-call overhead, while huge blobs keep wide lanes.
 """
 
 from __future__ import annotations
@@ -36,7 +41,17 @@ import numpy as np
 
 MAGIC = b"HUF1"
 MAX_LEN = 15
-BLOCK_SYMS = 4096  # symbols per independently-decodable sub-block
+BLOCK_SYMS = 4096  # max symbols per independently-decodable sub-block
+MIN_BLOCK_SYMS = 64
+TARGET_BLOCKS = 512
+
+
+def _block_syms(n: int) -> int:
+    """Power-of-two sub-block size in [MIN_BLOCK_SYMS, BLOCK_SYMS]."""
+    if n <= 0:
+        return MIN_BLOCK_SYMS
+    bs = 1 << max(0, (n // TARGET_BLOCKS)).bit_length()
+    return max(MIN_BLOCK_SYMS, min(BLOCK_SYMS, bs))
 
 
 def _code_lengths(counts: np.ndarray) -> np.ndarray:
@@ -124,11 +139,12 @@ def huffman_encode(data) -> bytes:
     codes_tbl = _canonical_codes(lens_tbl)
     sym_lens = lens_tbl[x].astype(np.int64)
     sym_codes = codes_tbl[x]
-    # sub-block bit offsets (every BLOCK_SYMS symbols)
+    bs = _block_syms(n)
+    # sub-block bit offsets (every bs symbols)
     ends = np.cumsum(sym_lens)
     total_bits = int(ends[-1]) if n else 0
     starts_bits = ends - sym_lens  # per-symbol start bit
-    blk_starts = starts_bits[::BLOCK_SYMS] if n else np.zeros(0, np.int64)
+    blk_starts = starts_bits[::bs] if n else np.zeros(0, np.int64)
     # vectorized pack, byte-lane OR-merge: left-align each code in a
     # 24-bit window at byte (start>>3); window bits outside the code are
     # zero, so overlapping windows combine by OR
@@ -150,6 +166,7 @@ def huffman_encode(data) -> bytes:
     nibbles = (lens_tbl[0::2] << 4) | lens_tbl[1::2]
     head = bytearray(MAGIC)
     head += np.uint32(n).tobytes()
+    head += np.uint16(bs).tobytes()
     head += nibbles.astype(np.uint8).tobytes()  # 128 bytes of code lengths
     head += np.uint32(len(blk_starts)).tobytes()
     prev = 0
@@ -179,12 +196,13 @@ def huffman_decode(buf: bytes) -> np.ndarray:
     mv = memoryview(buf)
     assert bytes(mv[:4]) == MAGIC, "not a HUF1 container"
     n = int(np.frombuffer(mv[4:8], np.uint32)[0])
-    nib = np.frombuffer(mv[8:136], np.uint8)
+    bs = int(np.frombuffer(mv[8:10], np.uint16)[0])
+    nib = np.frombuffer(mv[10:138], np.uint8)
     lens_tbl = np.empty(256, np.uint8)
     lens_tbl[0::2] = nib >> 4
     lens_tbl[1::2] = nib & 0x0F
-    n_blocks = int(np.frombuffer(mv[136:140], np.uint32)[0])
-    pos = 140
+    n_blocks = int(np.frombuffer(mv[138:142], np.uint32)[0])
+    pos = 142
     blk_bits = np.zeros(n_blocks, np.int64)
     acc = 0
     for i in range(n_blocks):
@@ -202,10 +220,10 @@ def huffman_decode(buf: bytes) -> np.ndarray:
     pow2 = (1 << np.arange(MAX_LEN - 1, -1, -1)).astype(np.int64)
     out = np.empty(n, np.uint8)
     cursors = blk_bits.copy()
-    blk_lens = np.full(n_blocks, BLOCK_SYMS, np.int64)
+    blk_lens = np.full(n_blocks, bs, np.int64)
     if n_blocks:
-        blk_lens[-1] = n - BLOCK_SYMS * (n_blocks - 1)
-    out_pos = np.arange(n_blocks, dtype=np.int64) * BLOCK_SYMS
+        blk_lens[-1] = n - bs * (n_blocks - 1)
+    out_pos = np.arange(n_blocks, dtype=np.int64) * bs
     remaining = blk_lens.copy()
     active = remaining > 0
     # one symbol per active block per iteration — vectorized across blocks
