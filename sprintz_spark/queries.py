@@ -578,6 +578,104 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _revenue_micro():
+    # l_extendedprice cents x (1-l_discount) basis points: pure-integer
+    # product, so the sum is order-independent and exact on both engines
+    return F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter broadcast into the fact join.
+    customer is filtered to one segment then BROADCAST (at 100 TB the
+    fact table never shuffles for a small dim); lineitem/orders join on
+    the shared orderkey; top-10 with a deterministic tie-break."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    ).select("l_orderkey", _revenue_micro().alias("rev"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev").alias("revenue_micro"))
+        .select("l_orderkey", "revenue_micro", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_micro"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+                * CAST(ROUND((1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_micro,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_micro DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: five-way join with a broadcast dim chain
+    (region->nation->, supplier) and one fact-fact shuffle join
+    (orders-lineitem). The c_nationkey = s_nationkey local-supplier
+    condition rides the supplier broadcast."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    nat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _revenue_micro().alias("rev")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("rev").alias("revenue_micro"))
+        .orderBy(F.desc("revenue_micro"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+                * CAST(ROUND((1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_micro
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name ORDER BY revenue_micro DESC
+"""
+
+
 # --- dedup / text analysis over documents ---------------------------------
 
 def q_dedup_wordset(spark, sf_dir):
@@ -1229,6 +1327,8 @@ def queries() -> dict:
         "rollup_grouping_sets": q_rollup_grouping_sets,
         "text_extract_verified": q_text_extract_verified,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
         "dedup_wordset": q_dedup_wordset,
         "token_stats": q_token_stats,
         "exact_dup_docs": q_exact_dup_docs,
@@ -1272,6 +1372,8 @@ def oracles() -> dict:
         "squeeze_report": _SQUEEZE_SQL,
         "rollup_grouping_sets": _GROUPING_SQL,
         "pricing_summary": _PRICING_SQL,
+        "shipping_priority": _Q3_SQL,
+        "local_supplier_volume": _Q5_SQL,
         "dedup_wordset": _DEDUP_WORDSET_SQL,
         "token_stats": _TOKEN_STATS_SQL,
         "exact_dup_docs": _EXACT_DUP_SQL,
