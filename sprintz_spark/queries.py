@@ -884,6 +884,58 @@ FROM purchases p ASOF LEFT JOIN clicks c
 """
 
 
+def q_range_join_concurrency(spark, sf_dir):
+    """Range join (interval containment) done scale-safely: session
+    intervals explode into day bins, events equi-join on the bin, exact
+    BETWEEN filters candidates (operators/ranges.py — no
+    BroadcastNestedLoop). Reports the histogram of how many concurrent
+    sessions (any user) contain each distinct event timestamp."""
+    from sprintz_spark.operators.ranges import range_join_binned
+    from sprintz_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    bounds = (
+        sessionize(ev, key="user_id", ts_col="ts", gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .select("s_start", "s_end")
+    )
+    pts = ev.distinct()
+    pairs = range_join_binned(pts, bounds, "ts", "s_start", "s_end")
+    return (
+        pairs.groupBy("user_id", "ts")
+        .agg(F.count(F.lit(1)).alias("concurrency"))
+        .groupBy("concurrency")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+), bounds AS (
+  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM sess GROUP BY user_id, session_id
+), ev AS (SELECT DISTINCT user_id, ts FROM events
+), cnt AS (
+  SELECT e.user_id, e.ts, count(*) AS concurrency
+  FROM ev e JOIN bounds b ON e.ts >= b.s_start AND e.ts <= b.s_end
+  GROUP BY e.user_id, e.ts
+)
+SELECT concurrency, count(*) AS n_events FROM cnt GROUP BY concurrency
+"""
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per event type (Spark `percentile`
     and DuckDB `quantile_cont` share the type-7 definition, so values are
@@ -1338,6 +1390,7 @@ def queries() -> dict:
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "range_join_concurrency": q_range_join_concurrency,
         "value_percentiles": q_value_percentiles,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_buckets": q_simhash_buckets,
@@ -1383,6 +1436,7 @@ def oracles() -> dict:
         "ivf_kmeans_topk": _ANN_SQL,
         "asof_join": _ASOF_SQL,
         "sessionize": _SESSION_SQL,
+        "range_join_concurrency": _RANGE_JOIN_SQL,
         "value_percentiles": _PERCENTILE_SQL,
         "ngram_jaccard_verified": _NGRAM_JACCARD_SQL,
         "quality_stats": _quality_sql(),
