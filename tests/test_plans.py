@@ -1,0 +1,108 @@
+"""Physical-plan regression tests: the scale properties PLANS.md
+documents (single-shuffle fused job, broadcast dims, predicate pushdown,
+column pruning, no nested-loop joins) asserted by pytest so a refactor
+cannot silently regress the 100-TB plan shape."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _count(plan: str, token: str) -> int:
+    return plan.count(token)
+
+
+def test_fused_job_single_shuffle(spark, pages_small):
+    from sprintz_spark.plans.jobs import fused_rollup_encode
+
+    plan = _plan(fused_rollup_encode(pages_small))
+    assert _count(plan, "Exchange hashpartitioning") == 1
+    # page payloads must not cross the shuffle: html is reduced to its
+    # length in a projection below the exchange, so only (url, ts, nbytes)
+    # ever move
+    assert "length(html" in plan
+    exchange_line = next(
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert "html" not in exchange_line
+
+
+def test_rollup_has_mapside_partial_aggregation(spark):
+    from sprintz_spark import queries as Q
+
+    plan = _plan(Q.queries()["rollup_1m"](spark, SF))
+    # partial HashAggregate below the exchange, final above: two
+    # HashAggregate spans around exactly one exchange
+    assert _count(plan, "Exchange hashpartitioning") == 1
+    assert _count(plan, "HashAggregate") >= 2
+    # column pruning: events has 6 columns, the scan reads 3
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 3
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    from sprintz_spark import queries as Q
+
+    plan = _formatted(Q.queries()["pricing_summary"](spark, SF))
+    assert re.search(r"PushedFilters: \[IsNotNull\(l_shipdate\), LessThanOrEqual\(l_shipdate", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = m.group(1).split(",")
+    assert len(cols) <= 5  # 5 of 11 lineitem columns
+
+
+def test_tpch_joins_broadcast_no_nested_loop(spark):
+    from sprintz_spark import queries as Q
+
+    for name in ("shipping_priority", "local_supplier_volume"):
+        plan = _plan(Q.queries()[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_decode_adds_no_shuffle_over_encode(spark):
+    from sprintz_spark.operators.encode import decode_series, encode_series
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", F.col("ts").alias("bucket"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    enc = encode_series(ev, key_cols=["user_id"], value_cols=["cents"])
+    dec = decode_series(enc, key_cols=["user_id"], value_cols=["cents"])
+    # decode is mapInPandas on top of the encode stage: same single shuffle
+    assert _count(_plan(enc), "Exchange hashpartitioning") == 1
+    assert _count(_plan(dec), "Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_hash_join(spark):
+    from sprintz_spark import queries as Q
+
+    plan = _plan(Q.queries()["range_join_concurrency"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_topk_broadcasts_query_vector(spark):
+    from sprintz_spark import queries as Q
+
+    plan = _plan(Q.queries()["ann_topk"](spark, SF))
+    # the 1-row query side is broadcast; the corpus never shuffles for it
+    assert "Broadcast" in plan
+    assert _count(plan, "Exchange hashpartitioning") == 0 or "WindowGroupLimit" in plan
