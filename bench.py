@@ -1,9 +1,12 @@
 """Benchmark harness: headline queries + the encode/rollup pipeline.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., plus extra diagnostics
-   (pipeline rows/sec, per-tier compression ratios)}.
+Prints ONE compact JSON headline line (<500 bytes — the driver records only
+the last 2000 chars of stdout, so the line must never outgrow that window):
+  {"metric": "...", "value": total_sec, "unit": "sec", "sf": ...,
+   "n_queries": N, "queries": "BENCH.json", pipeline/fused/decode
+   rows-per-sec, tier ratios, scaling pairs}.
+The FULL result — per-query timings and scaling leg details — is written to
+BENCH.json next to this script.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
@@ -213,13 +216,41 @@ def main() -> None:
         "cpus": int(cpus),
         **extra,
     }
-    # parse-proofing (round-2's official record lost the JSON head to the
-    # driver's output-tail capture): compact separators keep the line well
-    # under the capture window, the line is the LAST thing printed, and
-    # the same object is persisted to BENCH.json as a fallback artifact.
-    line = json.dumps(out, separators=(",", ":"))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
-        f.write(line + "\n")
+    # Parse-proofing, round 3 of: the driver records only the LAST 2000
+    # chars of stdout, and the full 2.3 KB per-query line lost its head two
+    # rounds running (BENCH_r02/r03 "parsed": null). So: the full object
+    # (per-query timings, leg details) goes ONLY to BENCH.json, and the
+    # final printed line is a <500-byte headline the capture can never
+    # truncate.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH.json"), "w") as f:
+        f.write(json.dumps(out, separators=(",", ":")) + "\n")
+
+    headline = {
+        "metric": "engine_bench_total",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "cpus": int(cpus),
+        "n_queries": len(times),
+        "queries": "BENCH.json",
+    }
+    for k in (
+        "pipeline_rows_per_sec",
+        "fused_fire_rows_per_sec",
+        "decode_points_per_sec",
+        "tier_ratios",
+    ):
+        if k in extra:
+            headline[k] = extra[k]
+    for k in ("scaling", "scaling_1v4", "scaling_2v8"):
+        s = extra.get(k)
+        if isinstance(s, dict):
+            headline[k] = {
+                kk: s[kk] for kk in ("pair", "value", "pass", "trials") if kk in s
+            }
+    line = json.dumps(headline, separators=(",", ":"))
+    assert len(line) < 900, f"headline JSON too long for tail capture: {len(line)}"
     sys.stdout.flush()
     print(line)
 

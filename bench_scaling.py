@@ -108,6 +108,12 @@ def main() -> None:
     # solidly over target (>=0.84 any round, or >=0.80 with 2+ rounds) to
     # bound sandbox wall-clock; the number of rounds actually run is
     # reported in the output ("trials") for transparency.
+    #
+    # A ratio > 1.0 is physically superlinear — it means the SMALL leg ran
+    # slow (host noise), not that the big leg is magic. Round-3 verdict:
+    # never early-exit on a >1.0 single-trial reading; run at least one
+    # more interleaved round so best-of-2 can pull the small leg back to a
+    # physical value.
     small = big = None
     rounds = 0
     for _ in range(trials):
@@ -119,7 +125,8 @@ def main() -> None:
         if big is None or b1["secs"] < big["secs"]:
             big = b1
         eff = eff_of(small, big)
-        if eff >= 0.84 or (rounds >= 2 and eff >= 0.8):
+        trustworthy = eff <= 1.0 or rounds >= 2
+        if trustworthy and (eff >= 0.84 or (rounds >= 2 and eff >= 0.8)):
             break
     eff = eff_of(small, big)
     print(json.dumps({

@@ -94,14 +94,24 @@ def ivf_topk(
 
     Probe-cell assignment is fully distributed: the same vectorized
     pandas_udf that indexes the corpus assigns each query its base cell
-    plus the Hamming-1 neighbor cells (one bit flip per plane), exploded
-    into (query, cell) probe rows. No driver-side collect — the query
-    side can itself be corpus-scale; only the probe rows that join are
-    broadcast (still small: queries x (1+n_planes))."""
+    plus all cells within ``hamming_probe`` bit flips, exploded into
+    (query, cell) probe rows. No driver-side collect — the query side can
+    itself be corpus-scale; only the probe rows that join are broadcast
+    (still small: queries x sum_{i<=h} C(n_planes, i))."""
     dim = len(queries.select(q_vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
     flips = np.left_shift(1, np.arange(n_planes, dtype=np.int32))
+    masks = [np.int32(0)]
+    if hamming_probe >= 1:
+        masks.extend(flips.tolist())
+    if hamming_probe >= 2:
+        from itertools import combinations
+
+        masks.extend(
+            int(flips[a] | flips[b]) for a, b in combinations(range(n_planes), 2)
+        )
+    mask_arr = np.asarray(masks, dtype=np.int32)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
@@ -110,9 +120,7 @@ def ivf_topk(
         base = (bits.astype(np.int32) << np.arange(n_planes, dtype=np.int32)).sum(
             axis=1, dtype=np.int32
         )
-        cells = base[:, None]
-        if hamming_probe >= 1:
-            cells = np.concatenate([cells, base[:, None] ^ flips[None, :]], axis=1)
+        cells = base[:, None] ^ mask_arr[None, :]
         return pd.Series([row.tolist() for row in cells])
 
     probe = queries.select(
