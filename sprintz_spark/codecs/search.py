@@ -98,10 +98,37 @@ PIPELINES: list[tuple[str, tuple]] = [
     ("byteshuffle-huffman", _shuffle_huffman()),
 ]
 
-# ewma's IIR scan is per-sample Python (no per-block state boundary, so it
-# cannot batch like FIRE); cap the column length it may win at so a probe
-# victory can't commit the full column to a sample-by-sample encode
-EWMA_MAX_LEN = 1 << 17
+# ewma's encode is a per-sample scan (IIR with nonlinear truncation — no
+# per-block state boundary, so it cannot batch like FIRE; the reference's
+# own C++ encode is the same sequential scan, online.hpp:251-285). Decode
+# is fully vectorized (wrapping-cumsum accumulator, ewma.py), so the cap
+# only bounds the one-time ENCODE cost a probe victory can commit a column
+# to: ~0.4 s at this cap with the branch-free loop (2.7 Msamples/s).
+EWMA_MAX_LEN = 1 << 20
+
+# search container header: magic | version | pipeline-id | dtype | u32 n.
+# The magic/version pair makes stale or reordered-id blobs fail loudly
+# instead of silently decoding with the wrong pipeline (the id byte is an
+# index into the APPEND-ONLY table above). Pre-versioned round-3 blobs
+# (bare id byte first, always <= 0x0B) can never alias the magic.
+MAGIC = 0xA5
+VERSION = 1
+
+
+def _applicable(name: str, dt: np.dtype, n: int) -> str | None:
+    """None if `name` may encode an (dtype, length) column, else the
+    reason — shared by the probe loop and forced-pipeline validation."""
+    is_float = dt.kind == "f"
+    w = dt.itemsize * 8
+    if name == "gorilla" and not is_float:
+        return "gorilla encodes float64 columns only"
+    if name != "gorilla" and is_float:
+        return f"{name} encodes integer columns only (floats quantize first)"
+    if name in ("sprintz-fire", "sprintz-ewma") and w not in (8, 16):
+        return f"{name} supports u8/u16 widths only, got {w}-bit"
+    if name == "sprintz-ewma" and n > EWMA_MAX_LEN:
+        return f"sprintz-ewma capped at {EWMA_MAX_LEN} samples (per-sample encode scan)"
+    return None
 
 
 def search_encode(
@@ -110,29 +137,33 @@ def search_encode(
     """Try every applicable pipeline (on a bounded sample for very long
     columns, then encode fully with the winner); return the container.
     ``pipeline`` forces a named pipeline instead of probing (used by
-    tests/queries that gate one codec end-to-end)."""
+    tests/queries that gate one codec end-to-end); the forced name is
+    validated against the pipeline table and the same dtype/width gates
+    as the probe loop, so a mismatched codec config raises a clear
+    ValueError instead of a deep TypeError."""
     x = np.ascontiguousarray(x)
     dt = x.dtype
-    is_float = dt.kind == "f"
-    w = dt.itemsize * 8
     if pipeline is not None:
         names = [n for n, _ in PIPELINES]
+        if pipeline not in names:
+            raise ValueError(
+                f"unknown search pipeline {pipeline!r}; valid: {', '.join(names)}"
+            )
+        reason = _applicable(pipeline, dt, len(x))
+        if reason is not None:
+            raise ValueError(
+                f"pipeline {pipeline!r} cannot encode dtype {dt} column: {reason}"
+            )
         best_i = names.index(pipeline)
         enc, _dec = PIPELINES[best_i][1]
         payload = enc(x)
-        head = bytes([best_i, _DTYPE_CODE[dt]]) + np.uint32(len(x)).tobytes()
-        return head + payload
+        head = bytes([MAGIC, VERSION, best_i, _DTYPE_CODE[dt]])
+        return head + np.uint32(len(x)).tobytes() + payload
     probe = x[:sample] if len(x) > sample else x
     best_i, best_size = None, None
     for i, (name, (enc, _dec)) in enumerate(PIPELINES):
-        if name == "gorilla" and not is_float:
+        if _applicable(name, dt, len(x)) is not None:
             continue
-        if name != "gorilla" and is_float:
-            continue
-        if name in ("sprintz-fire", "sprintz-ewma") and w not in (8, 16):
-            continue
-        if name == "sprintz-ewma" and len(x) > EWMA_MAX_LEN:
-            continue  # per-sample scan: ineligible for long columns
         try:
             size = len(enc(probe))
         except (TypeError, ValueError):
@@ -141,16 +172,21 @@ def search_encode(
             best_i, best_size = i, size
     enc, _dec = PIPELINES[best_i][1]
     payload = enc(x)
-    head = bytes([best_i, _DTYPE_CODE[dt]]) + np.uint32(len(x)).tobytes()
-    return head + payload
+    head = bytes([MAGIC, VERSION, best_i, _DTYPE_CODE[dt]])
+    return head + np.uint32(len(x)).tobytes() + payload
 
 
 def search_decode(buf: bytes) -> np.ndarray:
-    pipeline_i = buf[0]
-    dt = np.dtype(_DTYPES[buf[1]])
-    n = int(np.frombuffer(buf[2:6], dtype=np.uint32)[0])
+    if buf[0] != MAGIC or buf[1] != VERSION:
+        raise ValueError(
+            "not a v1 search container (bad magic/version bytes "
+            f"{buf[0]:#04x} {buf[1]:#04x}); refusing to guess a pipeline id"
+        )
+    pipeline_i = buf[2]
+    dt = np.dtype(_DTYPES[buf[3]])
+    n = int(np.frombuffer(buf[4:8], dtype=np.uint32)[0])
     _name, (_enc, dec) = PIPELINES[pipeline_i]
-    return dec(buf[6:], dt, n)
+    return dec(buf[8:], dt, n)
 
 
 def search_report(x: np.ndarray) -> dict:

@@ -272,6 +272,41 @@ def test_ewma_roundtrip_and_wire():
         assert sz.blob_mode(buf) == "ewma"
 
 
+def test_ewma_matches_reference_recurrence():
+    """The vectorized decode (wrapping-cumsum accumulator) and the
+    branch-free unsigned-acc encode loop must be byte-identical to the
+    reference's signed-counter recurrence (online.hpp:251-285), pinned
+    here as a literal per-sample scan."""
+    from sprintz_spark.codecs import ewma
+    from sprintz_spark.codecs import zigzag as zz
+
+    def wrap(v, bits):
+        mask = (1 << bits) - 1
+        v &= mask
+        return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+    def ref_encode(x, w):
+        wmask, cbits = (1 << w) - 1, ewma._COUNTER_BITS[w]
+        acc, errs = 0, np.empty(len(x), ewma._SIGNED[w])
+        for t, xt in enumerate(x.tolist()):
+            pred = (acc >> ewma.SHIFT) & wmask  # signed-counter shift
+            err = wrap(xt - pred, w)
+            errs[t] = err
+            acc = wrap(acc + err, cbits)
+        return zz.encode(errs)
+
+    for w, dt in ((8, np.uint8), (16, np.uint16)):
+        for x in (
+            rng.integers(0, 2**w, 1024).astype(dt),
+            np.zeros(64, dt),
+            np.full(256, (1 << w) - 1, dt),
+            (np.arange(2048) % (1 << w)).astype(dt),
+        ):
+            z = ewma.ewma_encode(x, w)
+            np.testing.assert_array_equal(z, ref_encode(x, w))
+            np.testing.assert_array_equal(ewma.ewma_decode(z, w), x)
+
+
 def test_ewma_tracks_noisy_mean():
     """On stationary noise around a level, EWMA residuals must be tighter
     than delta residuals (the predictor's reason to exist)."""

@@ -35,3 +35,56 @@ def test_search_picks_sensibly():
     assert rep["sprintz-delta"] < rep["raw"]
     assert set(rep) >= {"sprintz-delta", "sprintz-doubledelta", "bzip2",
                         "byteshuffle-lzma", "raw", "raw_bytes"}
+
+
+def test_pipeline_table_layout_pinned():
+    # the list index IS the on-disk pipeline id (byte 2 of the v1
+    # container): any reorder/removal silently re-maps persisted blobs,
+    # so the exact (index, name) layout is pinned here. APPEND-ONLY.
+    assert [n for n, _ in S.PIPELINES] == [
+        "sprintz-delta",
+        "sprintz-doubledelta",
+        "sprintz-dyndelta",
+        "sprintz-fire",
+        "raw",
+        "bzip2",
+        "byteshuffle-lzma",
+        "gorilla",
+        "sprintz-ewma",
+        "byteshuffle-zstd",
+        "huffman",
+        "byteshuffle-huffman",
+    ]
+
+
+def test_container_magic_version():
+    x = np.arange(64, dtype=np.int64)
+    buf = S.search_encode(x)
+    assert buf[0] == S.MAGIC and buf[1] == S.VERSION
+    # a pre-versioned (round-3) blob started with the bare pipeline id
+    # (<= 0x0B) — must be refused loudly, never mis-decoded
+    stale = bytes([0, 7]) + buf[4:]
+    with pytest.raises(ValueError, match="magic/version"):
+        S.search_decode(stale)
+    with pytest.raises(ValueError, match="magic/version"):
+        S.search_decode(bytes([S.MAGIC, 99]) + buf[2:])
+
+
+def test_forced_pipeline_validation():
+    ints = np.arange(64, dtype=np.int64)
+    floats = np.linspace(0, 1, 64)
+    with pytest.raises(ValueError, match="unknown search pipeline"):
+        S.search_encode(ints, pipeline="nope")
+    with pytest.raises(ValueError, match="float64 columns only"):
+        S.search_encode(ints, pipeline="gorilla")
+    with pytest.raises(ValueError, match="integer columns only"):
+        S.search_encode(floats, pipeline="sprintz-delta")
+    with pytest.raises(ValueError, match="u8/u16"):
+        S.search_encode(ints, pipeline="sprintz-fire")
+    with pytest.raises(ValueError, match="capped"):
+        S.search_encode(
+            np.zeros(S.EWMA_MAX_LEN + 8, dtype=np.uint8), pipeline="sprintz-ewma"
+        )
+    # valid forced pipelines still round-trip
+    buf = S.search_encode(ints, pipeline="sprintz-doubledelta")
+    np.testing.assert_array_equal(S.search_decode(buf).view(np.int64), ints)
