@@ -118,3 +118,22 @@ def test_search_report_includes_huffman():
     rep = S.search_report(x)
     assert "huffman" in rep and "byteshuffle-huffman" in rep
     assert rep["huffman"] < rep["raw_bytes"]
+
+
+def test_decode_throughput_floor():
+    """Perf regression guard for the multi-symbol decode (round-4): the
+    10M-symbol skewed bench reads ~29 MB/s/core on an idle sandbox; the
+    floor is set at 10 MB/s — the single-symbol loop's speed — so a
+    regression back to one-symbol-per-iteration fails loudly while host
+    noise (+/-50% documented in BASELINE.md) cannot flake the test."""
+    import time
+
+    p = 1.0 / np.arange(1, 257) ** 1.5
+    x = rng.choice(256, 10_000_000, p=p / p.sum()).astype(np.uint8)
+    blob = huffman_encode(x)
+    huffman_decode(blob)  # warm tables/page faults
+    t0 = time.perf_counter()
+    y = huffman_decode(blob)
+    rate = len(x) / (time.perf_counter() - t0) / 1e6
+    np.testing.assert_array_equal(y, x)
+    assert rate > 10.0, f"huffman decode regressed to {rate:.1f} MB/s"
