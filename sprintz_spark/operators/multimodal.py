@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -51,13 +52,30 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
-    """Real audio decode via soundfile when importable; raises otherwise.
+    """Real audio decode: RIFF/PCM WAV via the stdlib ``wave`` module
+    (zero dependencies, so this branch is testable in any container);
+    other formats dispatch to soundfile when importable.
 
     Returns mono float64 PCM in [-1, 1]."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            n_ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+        if width == 2:
+            pcm = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+        elif width == 1:  # 8-bit WAV is unsigned
+            pcm = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif width == 4:
+            pcm = np.frombuffer(raw, np.int32).astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"unsupported WAV sample width {width}")
+        return pcm.reshape(-1, n_ch).mean(axis=1) if n_ch > 1 else pcm
     if _soundfile is None:
         raise NotImplementedError(
-            "audio decode requires soundfile/libsndfile (not in this "
-            "container); use the fake=True paths or install soundfile"
+            "non-WAV audio decode requires soundfile/libsndfile (not in "
+            "this container); use PCM WAV, the fake=True paths, or "
+            "install soundfile"
         )
     data, _sr = _soundfile.read(io.BytesIO(payload))  # pragma: no cover
     pcm = np.asarray(data, dtype=np.float64)  # pragma: no cover
@@ -71,19 +89,41 @@ def _fake_decode(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
     return np.frombuffer((d * reps)[: h * w * 3], dtype=np.uint8).reshape(h, w, 3)
 
 
-def _decode_batch(payloads, fake: bool, h: int = 8, w: int = 8) -> np.ndarray:
-    """(n, h, w, 3) uint8 stack for the whole Arrow batch."""
-    if fake:
-        return np.stack([_fake_decode(p, h, w) for p in payloads])
-    return np.stack([decode_image(p) for p in payloads])  # pragma: no cover
+def _decode_batch(payloads, fake: bool = True, h: int = 8, w: int = 8) -> np.ndarray:
+    """(n, h, w, 3) uint8 stack for the whole Arrow batch (fake decoder:
+    shapes are uniform by construction, so the stack is always valid;
+    real decoders go through the per-shape grouping in image_features)."""
+    assert fake, "real decode paths group by shape; see image_features"
+    return np.stack([_fake_decode(p, h, w) for p in payloads])
+
+
+def _features_one_shape(imgs: np.ndarray) -> tuple:
+    """Vectorized features for a stacked (n, h, w, 3) float64 batch.
+
+    phash bits beyond the pixel count are zero-padded so images smaller
+    than 64 pixels still produce a well-formed 64-bit signature."""
+    n = len(imgs)
+    means = imgs.mean(axis=(1, 2))  # (n, 3)
+    gray = imgs.mean(axis=3).reshape(n, -1)  # (n, h*w)
+    med = np.median(gray, axis=1, keepdims=True)
+    bits = (gray > med)[:, :64].astype(np.uint8)
+    bits64 = np.zeros((n, 64), np.uint8)
+    bits64[:, : bits.shape[1]] = bits
+    phash = (
+        np.packbits(bits64, axis=1, bitorder="little").copy().view(np.int64).ravel()
+    )
+    return means, imgs.reshape(n, -1).std(axis=1), phash
 
 
 def image_features(
     df: DataFrame, payload_col: str = "payload", fake: bool = True
 ) -> DataFrame:
     """mapInPandas feature extraction: mean/std per channel + phash-like
-    64-bit signature. All feature math is one vectorized pass over the
-    stacked (n, 8, 8, 3) batch; only the decode itself is per-item."""
+    64-bit signature. Feature math is one vectorized pass over the
+    stacked batch when all images share a shape (always true for the
+    fake decoder); real decoders with heterogeneous sizes group by shape
+    and run the same vectorized kernel per group — only the decode
+    itself is per-item."""
     schema = (
         ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
         + ", mean_r double, mean_g double, mean_b double, std_all double, phash long"
@@ -96,23 +136,29 @@ def image_features(
                     mean_r=[], mean_g=[], mean_b=[], std_all=[], phash=[]
                 )
                 continue
-            imgs = _decode_batch(pdf[payload_col], fake).astype(np.float64)
-            n = len(imgs)
-            means = imgs.mean(axis=(1, 2))  # (n, 3)
-            gray = imgs.mean(axis=3).reshape(n, -1)  # (n, 64)
-            med = np.median(gray, axis=1, keepdims=True)
-            bits = (gray > med)[:, :64].astype(np.uint8)
-            phash = (
-                np.packbits(bits, axis=1, bitorder="little")
-                .copy()
-                .view(np.int64)
-                .ravel()
-            )
+            n = len(pdf)
+            if fake:
+                imgs = _decode_batch(pdf[payload_col], True).astype(np.float64)
+                means, stds, phash = _features_one_shape(imgs)
+            else:
+                decoded = [decode_image(p) for p in pdf[payload_col]]
+                means = np.empty((n, 3))
+                stds = np.empty(n)
+                phash = np.empty(n, np.int64)
+                by_shape: dict = {}
+                for i, im in enumerate(decoded):
+                    by_shape.setdefault(im.shape, []).append(i)
+                for idxs in by_shape.values():
+                    stack = np.stack([decoded[i] for i in idxs]).astype(np.float64)
+                    m, s, p = _features_one_shape(stack)
+                    means[idxs] = m
+                    stds[idxs] = s
+                    phash[idxs] = p
             pdf = pdf.copy()
             pdf["mean_r"] = means[:, 0]
             pdf["mean_g"] = means[:, 1]
             pdf["mean_b"] = means[:, 2]
-            pdf["std_all"] = imgs.reshape(n, -1).std(axis=1)
+            pdf["std_all"] = stds
             pdf["phash"] = phash
             yield pdf
 
