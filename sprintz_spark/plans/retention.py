@@ -245,10 +245,40 @@ def compact_tiers(
     Returns {tier: {src_chunks, dst_chunks, rows}}.
     """
     import json as _json
+    from urllib.parse import urlparse
 
     report: dict = {}
     lineage: dict = {"source_snapshots": list(snapshot_ids), "tiers": {}}
+    # resume idempotence (mirrors run_retention's _pending_parts): a tier
+    # whose (tier, dest_snapshot_id) manifest rows already exist was fully
+    # compacted by a prior run — re-running must not append a second set
+    # of rows (which would double-count bytes in tier_ratio_report)
+    man = read_manifest(spark, out_dir)
+    done_tiers: set = set()
+    if man is not None:
+        done_tiers = {
+            r["tier"]
+            for r in man.where(F.col("snapshot_id") == dest_snapshot_id)
+            .select("tier")
+            .distinct()
+            .collect()
+        }
     for tier in tiers:
+        if tier in done_tiers:
+            enc_done = spark.read.parquet(
+                os.path.join(out_dir, f"snap={dest_snapshot_id}", f"encoded_tier={tier}")
+            )
+            agg = enc_done.agg(
+                F.count(F.lit(1)).alias("c"), F.sum("n").alias("r")
+            ).collect()[0]
+            report[tier] = {
+                "src_chunks": None,
+                "dst_chunks": agg["c"],
+                "rows": agg["r"],
+                "skipped": True,
+            }
+            lineage["tiers"][tier] = report[tier]
+            continue
         t0 = time.perf_counter()
         decs = []
         src_chunks = 0
@@ -310,8 +340,15 @@ def compact_tiers(
         }
         lineage["tiers"][tier] = report[tier]
     lin_path = os.path.join(out_dir, f"snap={dest_snapshot_id}", "lineage.json")
-    with open(lin_path, "w") as f:
-        _json.dump(lineage, f)
+    if urlparse(out_dir).scheme in ("", "file"):
+        with open(lin_path, "w") as f:
+            _json.dump(lineage, f)
+    else:
+        # object-store out_dir: a driver-local open() cannot write there;
+        # route through Spark's Hadoop filesystem like every other artifact
+        spark.createDataFrame(
+            [(_json.dumps(lineage),)], "lineage string"
+        ).coalesce(1).write.mode("overwrite").text(lin_path + ".d")
     return report
 
 

@@ -782,7 +782,14 @@ def q_fingerprint_dups(spark, sf_dir):
     """Document fingerprinting (functions/text.py::fingerprint — 63-bit
     md5 of normalized text) surfaced as a dedup grouping; the oracle
     recomputes every fingerprint VALUE in SQL, so this gates the Python
-    function bit-for-bit, not just group structure."""
+    function value-exact, not just group structure.
+
+    Whitespace caveat (round-3 advice): the SQL replica's trim()/'\\S'
+    tokenization matches Python's str.split()/strip() for ASCII
+    space-separated text (true of the synthetic corpus) but not for
+    tabs/newlines at string edges or unicode whitespace like NBSP —
+    on such corpora the ORACLE would report false mismatches; the
+    engine-side fingerprint itself is unaffected."""
     from sprintz_spark.operators.text_ops import fingerprint_udf
 
     docs = _t(spark, sf_dir, "documents")
@@ -822,11 +829,14 @@ def q_ann_topk(spark, sf_dir):
         F.aggregate(F.transform(to_d(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
     sim = dot / (norm("embedding") * norm("q"))
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    # global top-k as orderBy+limit, NOT a global window: Spark compiles
+    # this to TakeOrderedAndProject — per-partition partial top-10 with a
+    # single tiny final merge, no full-sort shuffle to one partition
+    # (plan-asserted in tests/test_plans.py)
     return (
         joined.select("vec_id", sim.alias("sim"))
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 10)
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
         .select("vec_id")
     )
 
@@ -1020,7 +1030,10 @@ def q_minhash_near_dup(spark, sf_dir):
     applies the same est_jaccard >= 0.4 filter. Equality gates the
     signature UDF, the banded join (Spark buckets by xxhash64 of the
     slice — a false bucket collision between unequal slices would
-    surface here), the cap plumbing, and the estimator."""
+    surface here), the cap plumbing, and the estimator. (The oracle's
+    regexp '\\S+' tokenization equals Python str.split() for the ASCII
+    whitespace of the synthetic corpus; unicode whitespace like NBSP
+    would diverge — an oracle limitation, not an engine one.)"""
     from sprintz_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))

@@ -100,3 +100,29 @@ def test_compact_conflict_newest_snapshot_wins(spark, pages_small, tmp_path):
     want = _decode_tier(spark, out, "1m", "s2")
     pd.testing.assert_frame_equal(want, got)
     assert not got.equals(_decode_tier(spark, out, "1m", "s1"))
+
+
+def test_compact_rerun_is_idempotent(spark, pages_small, tmp_path):
+    """Re-running compact_tiers with the same dest snapshot (crash replay)
+    must not append duplicate manifest rows — tier_ratio_report would
+    double-count bytes otherwise (round-3 advice item)."""
+    out = str(tmp_path / "store")
+    RT.run_retention(pages_small, out, snapshot_id="s1", n_buckets=2, chunk_rows=8)
+    RT.compact_tiers(spark, out, ["s1"], "c1", n_buckets=2)
+    man1 = (
+        RT.read_manifest(spark, out)
+        .where(F.col("snapshot_id") == "c1")
+        .count()
+    )
+    rep2 = RT.compact_tiers(spark, out, ["s1"], "c1", n_buckets=2)
+    man2 = (
+        RT.read_manifest(spark, out)
+        .where(F.col("snapshot_id") == "c1")
+        .count()
+    )
+    assert man2 == man1  # no duplicate rows
+    assert all(t.get("skipped") for t in rep2.values())
+    # ratios still computable and finite after the rerun
+    ratios = RT.tier_ratio_report(spark, out, "c1")
+    for v in ratios.values():
+        assert v["ratio"] > 0

@@ -105,4 +105,29 @@ def test_ann_topk_broadcasts_query_vector(spark):
     plan = _plan(Q.queries()["ann_topk"](spark, SF))
     # the 1-row query side is broadcast; the corpus never shuffles for it
     assert "Broadcast" in plan
-    assert _count(plan, "Exchange hashpartitioning") == 0 or "WindowGroupLimit" in plan
+    # global top-k must compile to TakeOrderedAndProject (per-partition
+    # partial top-10 + tiny final merge), never a single-partition sort
+    assert "TakeOrderedAndProject" in plan
+    assert _count(plan, "Exchange hashpartitioning") == 0
+
+
+def test_knn_partial_topk_via_window_group_limit(spark):
+    """Pin the WindowGroupLimit dependency (round-3 verdict item 10): the
+    per-(query, partition) partial top-k that knn_bruteforce's docstring
+    promises exists only because Spark's InferWindowGroupLimit rewrites
+    the row_number() <= k filter. Assert the Partial stage is in the
+    executed plan so a runtime downgrade cannot silently reintroduce the
+    full shuffle of every (query, corpus-row) pair."""
+    from sprintz_spark import queries as Q
+    from sprintz_spark.operators.similarity import knn_bruteforce
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qdf = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    plan = _plan(knn_bruteforce(emb, qdf, k=10))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # the recall-gated ivf_topk query composes knn + the IVF probe; both
+    # of its rank filters must keep the rewrite too
+    plan2 = _plan(Q.queries()["ivf_topk"](spark, SF))
+    assert plan2.count("WindowGroupLimit") >= 2 and "Partial" in plan2
