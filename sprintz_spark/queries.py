@@ -1179,6 +1179,135 @@ SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.7
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup CLUSTERS (round-4 addition): the oracle-green
+    exact-Jaccard pair set becomes per-doc cluster ids via distributed
+    min-label-propagation connected components (operators/graph.py) —
+    a~b and b~c cluster a,b,c together even when (a,c) never collided.
+    The oracle recomputes the closure with a recursive CTE over the same
+    all-pairs exact-Jaccard graph, so equality gates the LSH pruning,
+    the verifier, AND the component algorithm; singleton docs keep their
+    own id via the same COALESCE rule on both sides."""
+    from sprintz_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+    from sprintz_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        ngram_jaccard_verify(docs, minhash_lsh_pairs(docs, min_est_jaccard=0.3))
+        .where(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b")
+    )
+    return dedup_clusters(docs, pairs, src="doc_a", dst="doc_b")
+
+
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(words)-2, 1))]) AS grams
+  FROM w
+), p AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+              4) >= 0.7
+), sym AS (
+  SELECT pa AS a, pb AS b FROM p UNION ALL SELECT pb, pa FROM p
+), reach(id, r) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+)
+SELECT d.doc_id,
+       CAST(LEAST(d.doc_id, COALESCE(MIN(r.r), d.doc_id)) AS BIGINT)
+         AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Heavy hitters: exact top-20 word-3-grams by DOCUMENT frequency
+    (each doc counts a gram once). Deterministic tie-break (count desc,
+    gram asc) so the cut at rank 20 is identical across engines; compiles
+    to partial-agg -> final-agg -> TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ", -1)
+    grams = F.expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"
+    )
+    return (
+        docs.select("doc_id", words.alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+_TOP_NGRAMS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(words[i:i+2], ' ')
+                               for i in generate_series(1, len(words)-2)])) AS gram
+  FROM w WHERE len(words) >= 3
+)
+SELECT gram, count(*) AS n_docs FROM g
+GROUP BY gram ORDER BY n_docs DESC, gram ASC LIMIT 20
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/valid/test split by md5 of the doc id (the
+    standard leakage-free way to split a corpus that is stable under
+    re-partitioning and re-runs): bucket = first-8-hex-digits mod 100,
+    <80 train / <90 valid / else test. The oracle recomputes every
+    bucket in SQL, so membership — not just the counts — is gated via
+    the per-split doc_id checksums."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    bucket = (h.cast("long") % 100).alias("bucket")
+    split = (
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "valid")
+        .otherwise("test")
+        .alias("split")
+    )
+    return (
+        docs.select("doc_id", bucket)
+        .select("doc_id", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+_HASH_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM b GROUP BY 1
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """SRP-LSH embedding near-dup at cosine >= 0.95, fully oracle-gated.
 
@@ -1566,6 +1695,9 @@ def queries() -> dict:
         "ngram_jaccard_verified": q_ngram_jaccard_verified,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
+        "dedup_clusters": q_dedup_clusters,
+        "top_ngrams": q_top_ngrams,
+        "hash_split": q_hash_split,
         "image_features": q_image_features,
         "image_resize": q_image_resize,
         "audio_stats": q_audio_stats,
@@ -1616,6 +1748,9 @@ def oracles() -> dict:
         "audio_stats": _AUDIO_STATS_SQL,
         "text_extract_verified": _TEXT_EXTRACT_SQL,
         "ivf_topk": _IVF_RECALL_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "top_ngrams": _TOP_NGRAMS_SQL,
+        "hash_split": _HASH_SPLIT_SQL,
         # rows-only (no SQL equivalent):
         # codec_search_stats (chosen mode is engine-internal)
     }
