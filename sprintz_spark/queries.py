@@ -564,6 +564,131 @@ def q_text_extract_verified(spark, sf_dir):
     )
 
 
+# --- timeseries surface: M4 / counter rate / rolling z-score --------------
+
+# total order within a user's series: µs since 2024-01-01 then event_id
+# (ts alone is unique in the synthetic tables, but the composite stays
+# deterministic if regenerated data ever ties timestamps)
+_BASE_US = 1704067200000000  # 2024-01-01T00:00:00Z in unix micros
+
+
+def _event_order():
+    # testdata ts is TIMESTAMP_NTZ; cast under the UTC session so the
+    # micros match DuckDB's epoch_us exactly
+    return (
+        F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(_BASE_US)
+    ) * F.lit(1000000) + F.col("event_id")
+
+
+_ORDER_SQL = "(epoch_us(ts) - 1704067200000000) * 1000000 + event_id"
+
+
+def q_m4_downsample(spark, sf_dir):
+    """M4 visualization downsampling (Jugel et al., VLDB'14): per
+    (user, hour) keep min/max/first/last — the error-free line-chart
+    reduction. One algebraic hash aggregation (map-side combined);
+    first/last via min_by/max_by on the composite total order, matched
+    by DuckDB arg_min/arg_max in the oracle."""
+    from sprintz_spark.operators.downsample import m4_downsample
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents().alias("cents")
+    )
+    return m4_downsample(
+        ev,
+        key_cols=["user_id"],
+        bucket=F.date_trunc("hour", "ts"),
+        val_col="cents",
+        order=_event_order(),
+    )
+
+
+_M4_SQL = f"""
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         {_CENTS_SQL} AS cents, {_ORDER_SQL} AS ord
+  FROM events
+)
+SELECT user_id, bucket, min(cents) AS v_min, max(cents) AS v_max,
+       arg_min(cents, ord) AS v_first, arg_max(cents, ord) AS v_last,
+       count(*) AS n
+FROM e GROUP BY user_id, bucket
+"""
+
+
+def q_counter_rate(spark, sf_dir):
+    """PromQL-style counter increase per (user, hour): non-negative
+    consecutive diffs with counter-reset handling (a drop restarts the
+    counter, so the post-reset value is the increase). Exact integer
+    cents on both engines."""
+    from sprintz_spark.operators.downsample import counter_increase
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents().alias("cents")
+    )
+    return counter_increase(
+        ev,
+        key_cols=["user_id"],
+        bucket=F.date_trunc("hour", "ts"),
+        val_col="cents",
+        order=_event_order(),
+    )
+
+
+_COUNTER_RATE_SQL = f"""
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         {_CENTS_SQL} AS cents, {_ORDER_SQL} AS ord
+  FROM events
+), d AS (
+  SELECT user_id, bucket, cents,
+         lag(cents) OVER (PARTITION BY user_id ORDER BY ord) AS prev
+  FROM e
+)
+SELECT user_id, bucket,
+       CAST(sum(CASE WHEN prev IS NULL THEN 0
+                     WHEN cents >= prev THEN cents - prev
+                     ELSE cents END) AS BIGINT) AS increase,
+       count(*) AS n
+FROM d GROUP BY user_id, bucket
+"""
+
+
+def q_zscore_anomalies(spark, sf_dir):
+    """Rolling z-score anomaly flags per user, decided in EXACT integer
+    arithmetic — |x-mean| > 3*std over the trailing 20 samples is
+    (n*x-s)^2 > 9*(n*ss-s^2) after multiplying through by n^2, so the
+    flag (and therefore the hash gate) is bit-reproducible with no
+    float rounding on either engine."""
+    from sprintz_spark.operators.downsample import rolling_zscore_flags
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents().alias("cents")
+    )
+    return rolling_zscore_flags(
+        ev, key_cols=["user_id"], val_col="cents", order=_event_order()
+    )
+
+
+_ZSCORE_SQL = f"""
+WITH e AS (
+  SELECT user_id, {_CENTS_SQL} AS cents, {_ORDER_SQL} AS ord FROM events
+), w AS (
+  SELECT user_id, cents,
+    count(cents) OVER win AS n, sum(cents) OVER win AS s,
+    sum(cents*cents) OVER win AS ss
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY ord
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, count(*) AS n_points,
+  CAST(sum(CASE WHEN n >= 10
+                 AND (n*cents - s)*(n*cents - s) > 9*(n*ss - s*s)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM w GROUP BY user_id
+"""
+
+
 # --- TPC-H-style relational aggregate (decimal-exact) ---------------------
 
 def q_pricing_summary(spark, sf_dir):
@@ -1695,6 +1820,9 @@ def queries() -> dict:
         "ngram_jaccard_verified": q_ngram_jaccard_verified,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
+        "m4_downsample": q_m4_downsample,
+        "counter_rate": q_counter_rate,
+        "zscore_anomalies": q_zscore_anomalies,
         "dedup_clusters": q_dedup_clusters,
         "top_ngrams": q_top_ngrams,
         "hash_split": q_hash_split,
@@ -1748,6 +1876,9 @@ def oracles() -> dict:
         "audio_stats": _AUDIO_STATS_SQL,
         "text_extract_verified": _TEXT_EXTRACT_SQL,
         "ivf_topk": _IVF_RECALL_SQL,
+        "m4_downsample": _M4_SQL,
+        "counter_rate": _COUNTER_RATE_SQL,
+        "zscore_anomalies": _ZSCORE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,
         "hash_split": _HASH_SPLIT_SQL,

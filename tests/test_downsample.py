@@ -1,0 +1,74 @@
+"""M4 / counter-increase / rolling z-score (operators/downsample.py)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sprintz_spark.operators.downsample import (
+    counter_increase,
+    m4_downsample,
+    rolling_zscore_flags,
+)
+
+
+def _series(spark, vals, key="a"):
+    return spark.createDataFrame(
+        [Row(k=key, i=i, v=int(v)) for i, v in enumerate(vals)]
+    )
+
+
+def test_m4_matches_pandas_reference(spark):
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 1000, 97)
+    df = _series(spark, vals).withColumn("b", (F.col("i") / 10).cast("int"))
+    out = (
+        m4_downsample(df, ["k"], F.col("b"), "v", F.col("i"))
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame({"b": np.arange(97) // 10, "v": vals})
+    ref = pdf.groupby("b")["v"].agg(["min", "max", "first", "last", "count"])
+    assert list(out["v_min"]) == list(ref["min"])
+    assert list(out["v_max"]) == list(ref["max"])
+    assert list(out["v_first"]) == list(ref["first"])
+    assert list(out["v_last"]) == list(ref["last"])
+    assert list(out["n"]) == list(ref["count"])
+
+
+def test_counter_increase_reset_semantics(spark):
+    # 0,5,12,3(reset),4,1(reset) -> increases 0,5,7,3,1,1
+    df = _series(spark, [0, 5, 12, 3, 4, 1]).withColumn("b", F.lit(0))
+    out = counter_increase(df, ["k"], F.col("b"), "v", F.col("i")).collect()
+    assert out[0]["increase"] == 0 + 5 + 7 + 3 + 1 + 1
+    assert out[0]["n"] == 6
+
+
+def test_rolling_zscore_flags_spike(spark):
+    vals = [100] * 30 + [100000] + [100] * 9  # one huge spike
+    df = _series(spark, vals)
+    out = rolling_zscore_flags(df, ["k"], "v", F.col("i"), window=20).collect()
+    assert out[0]["n_points"] == 40
+    # constant history has zero variance; the spike trips the flag, the
+    # constant rows never do, and post-spike rows have nonzero variance
+    # but deviations under 3 sigma from the spike-inflated window
+    assert out[0]["n_flagged"] == 1
+
+
+def test_rolling_zscore_integer_identity(spark):
+    """The integer inequality must equal the float z-score definition on
+    random data (validates the multiply-through-by-n^2 algebra)."""
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 10_000, 300)
+    df = _series(spark, vals)
+    out = rolling_zscore_flags(df, ["k"], "v", F.col("i"), window=20).collect()
+    flags = 0
+    for t in range(len(vals)):
+        lo = max(0, t - 20)
+        w = vals[lo:t].astype(np.float64)
+        if len(w) >= 10:
+            mean, var = w.mean(), w.var()
+            if (vals[t] - mean) ** 2 > 9 * var:
+                flags += 1
+    assert out[0]["n_flagged"] == flags
