@@ -689,6 +689,62 @@ FROM w GROUP BY user_id
 """
 
 
+def q_hll_users(spark, sf_dir):
+    """HyperLogLog distinct-user sketch (operators/sketch.py) with the
+    ENTIRE sketch state oracle-gated: the md5 bucketing, the
+    string-binary-length rank (no float anywhere in the state), the
+    exact-integer harmonic denominator, a register checksum, the final
+    estimate, and the true distinct count side by side. Unlike Spark's
+    approx_count_distinct (engine-internal HLL++ state), every value
+    here is reproducible in DuckDB SQL."""
+    from sprintz_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers(ev, F.col("user_id"))
+    chk = regs.agg(
+        F.sum(F.col("bucket") * F.col("r")).alias("reg_checksum")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return hll_estimate(regs).crossJoin(chk).crossJoin(exact)
+
+
+def _hll_sql() -> str:
+    from sprintz_spark.operators.sketch import _ALPHA, _M, P_BITS, W_BITS
+
+    assert (P_BITS, W_BITS) == (12, 48)
+    coef = repr(_ALPHA * _M * _M * (1 << (W_BITS + 1)))
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT h >> 48 AS bucket,
+         max(CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                  ELSE 48 - length(bin(h & ((1::BIGINT << 48) - 1))) + 1
+             END) AS r
+  FROM h GROUP BY bucket
+), a AS (
+  SELECT count(*) AS n_regs,
+         CAST(sum(1::BIGINT << (49 - r)) AS BIGINT) AS s_present,
+         CAST(sum(bucket * r) AS BIGINT) AS reg_checksum
+  FROM r
+), e AS (
+  SELECT CAST(4096 - n_regs AS BIGINT) AS v_zero,
+         CAST(s_present + (4096 - n_regs) * (1::BIGINT << 49) AS BIGINT)
+           AS s_harm,
+         reg_checksum
+  FROM a
+)
+SELECT 4096 AS m, v_zero, s_harm,
+       CAST(ROUND(CASE WHEN ({coef} / s_harm) <= 2.5 * 4096 AND v_zero > 0
+                       THEN 4096.0 * ln(4096.0 / v_zero)
+                       ELSE {coef} / s_harm END, 0) AS BIGINT) AS estimate,
+       reg_checksum,
+       (SELECT count(DISTINCT user_id) FROM events) AS n_exact
+FROM e
+"""
+
+
 # --- TPC-H-style relational aggregate (decimal-exact) ---------------------
 
 def q_pricing_summary(spark, sf_dir):
@@ -1820,6 +1876,7 @@ def queries() -> dict:
         "ngram_jaccard_verified": q_ngram_jaccard_verified,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
+        "hll_users": q_hll_users,
         "m4_downsample": q_m4_downsample,
         "counter_rate": q_counter_rate,
         "zscore_anomalies": q_zscore_anomalies,
@@ -1876,6 +1933,7 @@ def oracles() -> dict:
         "audio_stats": _AUDIO_STATS_SQL,
         "text_extract_verified": _TEXT_EXTRACT_SQL,
         "ivf_topk": _IVF_RECALL_SQL,
+        "hll_users": _hll_sql(),
         "m4_downsample": _M4_SQL,
         "counter_rate": _COUNTER_RATE_SQL,
         "zscore_anomalies": _ZSCORE_SQL,

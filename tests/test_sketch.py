@@ -1,0 +1,36 @@
+"""HyperLogLog distinct sketch (operators/sketch.py)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sprintz_spark.operators.sketch import hll_estimate, hll_registers
+
+
+def test_hll_accuracy_large(spark):
+    """m=4096 gives ~1.04/sqrt(m) = 1.6% standard error; assert within
+    5 sigma on a 50k-distinct stream with duplicates."""
+    n = 50_000
+    df = spark.range(n * 2).select((F.col("id") % n).alias("v"))
+    est = hll_estimate(hll_registers(df, F.col("v"))).first()["estimate"]
+    assert abs(est - n) / n < 0.08
+
+
+def test_hll_register_state_deterministic(spark):
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    a = hll_registers(df, F.col("v")).toPandas().sort_values("bucket")
+    b = hll_registers(df, F.col("v")).toPandas().sort_values("bucket")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    # duplicates never change the registers (max is idempotent)
+    dup = spark.range(1000).select((F.col("id") % 500).alias("v"))
+    base = spark.range(500).select(F.col("id").alias("v"))
+    ra = hll_registers(dup, F.col("v")).toPandas().sort_values("bucket")
+    rb = hll_registers(base, F.col("v")).toPandas().sort_values("bucket")
+    assert ra.reset_index(drop=True).equals(rb.reset_index(drop=True))
+
+
+def test_hll_small_range_linear_counting(spark):
+    # n << m lands in the linear-counting branch and is near-exact there
+    df = spark.range(200).select(F.col("id").alias("v"))
+    row = hll_estimate(hll_registers(df, F.col("v"))).first()
+    assert row["v_zero"] > 0
+    assert abs(row["estimate"] - 200) <= 10
