@@ -128,6 +128,21 @@ def cmd_compact(args) -> dict:
     }
 
 
+def cmd_expire(args) -> dict:
+    from sprintz_spark.plans.retention import expire_snapshots, expire_tier
+
+    spark = _spark(args)
+    t0 = time.perf_counter()
+    if args.keep:
+        rep = expire_snapshots(spark, args.out, keep_ids=args.keep)
+    else:
+        rep = expire_tier(
+            spark, args.out, args.snapshot, args.tier, args.older_than,
+            dry_run=args.dry_run,
+        )
+    return {"job": "expire", "secs": round(time.perf_counter() - t0, 2), **rep}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sprintz_spark")
     p.add_argument("--master", default=None, help="Spark master (default: env/local)")
@@ -150,11 +165,23 @@ def main(argv=None) -> int:
                     help="source snapshot ids, oldest to newest")
     sc.add_argument("--dest", required=True, help="compacted snapshot id")
     sc.add_argument("--n-buckets", type=int, default=64)
+    se = sub.add_parser("expire")
+    se.add_argument("--out", required=True, help="retention store dir")
+    se.add_argument("--keep", nargs="*", default=None,
+                    help="snapshot ids to KEEP (gc mode: everything else is dropped)")
+    se.add_argument("--snapshot", help="snapshot id (tier-TTL mode)")
+    se.add_argument("--tier", help="tier to expire (tier-TTL mode)")
+    se.add_argument("--older-than", help="bucket cutoff, e.g. 2024-01-07 (tier-TTL mode)")
+    se.add_argument("--dry-run", action="store_true")
     args = p.parse_args(argv)
+    if args.cmd == "expire" and not args.keep and not (
+        args.snapshot and args.tier and args.older_than
+    ):
+        p.error("expire needs either --keep (gc) or --snapshot --tier --older-than (TTL)")
     if args.cmd in ("retention", "fused") and not (args.input or args.generate):
         p.error("one of --input / --generate is required")
     out = {"retention": cmd_retention, "fused": cmd_fused, "verify": cmd_verify,
-           "compact": cmd_compact}[args.cmd](args)
+           "compact": cmd_compact, "expire": cmd_expire}[args.cmd](args)
     print(json.dumps(out))
     return 0 if out.get("all_ok", True) else 1
 

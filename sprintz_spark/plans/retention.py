@@ -372,3 +372,107 @@ def read_tier_range(
     else:
         dec = decode_series(enc, key_cols=["url"], value_cols=MEASURES)
     return dec.where((F.col("bucket") >= F.lit(lo)) & (F.col("bucket") <= F.lit(hi)))
+
+
+def expire_tier(
+    spark: SparkSession,
+    out_dir: str,
+    snapshot_id: str,
+    tier: str,
+    older_than,
+    dry_run: bool = False,
+) -> dict:
+    """TTL expiry for one retention tier: drop encoded CHUNKS whose
+    entire bucket range lies before ``older_than`` (e.g. keep the 1m
+    tier 7 days, 1h 90 days, 1d forever — the standard tiered-retention
+    policy this store exists for).
+
+    Chunk-granular and conservative: a chunk straddling the cutoff is
+    kept in full (no decode/re-encode, no data loss at the boundary);
+    the filter is the same [start_bucket, end_bucket] metadata that
+    read_tier_range prunes on, so expiry cost is a metadata-filtered
+    parquet rewrite of the surviving chunks, never a codec pass.
+
+    The rewrite is staged to a sibling directory and swapped in with a
+    rename (atomic on a local/posix store; object-store deployments
+    would use a metadata pointer swap instead — same guard as
+    lineage.json). An audit row lands in <out_dir>/expiry_log.
+    """
+    enc_path = os.path.join(out_dir, f"snap={snapshot_id}", f"encoded_tier={tier}")
+    enc = spark.read.parquet(enc_path)
+    total = enc.count()
+    keep = enc.where(F.col("end_bucket") >= F.lit(older_than))
+    kept = keep.count()
+    dropped_rows = (
+        enc.where(F.col("end_bucket") < F.lit(older_than))
+        .agg(F.sum("n").alias("r"), F.sum("raw_bytes").alias("b"))
+        .collect()[0]
+    )
+    report = {
+        "tier": tier,
+        "chunks_total": total,
+        "chunks_dropped": total - kept,
+        "rows_dropped": int(dropped_rows["r"] or 0),
+        "raw_bytes_dropped": int(dropped_rows["b"] or 0),
+        "dry_run": dry_run,
+    }
+    if dry_run or total == kept:
+        return report
+    staged = enc_path + ".expiring"
+    keep.write.mode("overwrite").parquet(staged)
+    import shutil
+
+    old = enc_path + ".expired"
+    os.rename(enc_path, old)
+    os.rename(staged, enc_path)
+    shutil.rmtree(old)
+    log_row = [
+        (
+            tier,
+            snapshot_id,
+            str(older_than),
+            report["chunks_dropped"],
+            report["rows_dropped"],
+            report["raw_bytes_dropped"],
+            float(time.time()),
+        )
+    ]
+    spark.createDataFrame(
+        log_row,
+        "tier string, snapshot_id string, cutoff string, chunks_dropped long,"
+        " rows_dropped long, raw_bytes_dropped long, at double",
+    ).write.mode("append").parquet(os.path.join(out_dir, "expiry_log"))
+    return report
+
+
+def expire_snapshots(
+    spark: SparkSession, out_dir: str, keep_ids: list[str]
+) -> dict:
+    """Garbage-collect whole snapshots after compaction: delete every
+    snap=<id> directory NOT in ``keep_ids`` and rewrite the manifest
+    without their rows (staged + rename, same atomicity story as
+    expire_tier). The compacted snapshot's lineage.json still records
+    which source snapshots it merged."""
+    import shutil
+
+    keep = set(keep_ids)
+    dropped: list[str] = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("snap="):
+            continue
+        sid = name.split("=", 1)[1]
+        if sid in keep:
+            continue
+        shutil.rmtree(os.path.join(out_dir, name))
+        dropped.append(sid)
+    man = read_manifest(spark, out_dir)
+    if man is not None and dropped:
+        staged = _manifest_path(out_dir) + ".rewriting"
+        man.where(F.col("snapshot_id").isin(list(keep))).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        old = _manifest_path(out_dir) + ".old"
+        os.rename(_manifest_path(out_dir), old)
+        os.rename(staged, _manifest_path(out_dir))
+        shutil.rmtree(old)
+    return {"dropped_snapshots": dropped, "kept": sorted(keep)}

@@ -127,3 +127,72 @@ def test_read_tier_range_prunes_and_matches(spark, pages_small, tmp_path):
         enc.explain("simple")
     assert "PushedFilters: [" in buf.getvalue()
     assert "LessThanOrEqual(start_bucket" in buf.getvalue()
+
+
+def test_expire_tier_drops_old_chunks_conservatively(spark, pages_small, tmp_path):
+    """TTL expiry: chunks fully before the cutoff disappear, a chunk
+    straddling the cutoff survives in full, and the decoded remainder
+    equals the rollup filtered by the surviving chunks' coverage."""
+    from pyspark.sql import functions as F
+
+    from sprintz_spark.plans import retention as RT
+
+    out = str(tmp_path / "store")
+    RT.run_retention(pages_small, out, snapshot_id="s1", n_buckets=2, chunk_rows=8)
+    before = RT.read_tier_decoded(spark, out, "s1", "1h").toPandas()
+    cutoff = sorted(before["bucket"].unique())[len(before["bucket"].unique()) // 2]
+
+    dry = RT.expire_tier(spark, out, "s1", "1h", cutoff, dry_run=True)
+    assert dry["dry_run"] and dry["chunks_dropped"] > 0
+    # dry run changed nothing
+    assert len(RT.read_tier_decoded(spark, out, "s1", "1h").toPandas()) == len(before)
+
+    rep = RT.expire_tier(spark, out, "s1", "1h", cutoff)
+    assert rep["chunks_dropped"] == dry["chunks_dropped"]
+    after = RT.read_tier_decoded(spark, out, "s1", "1h").toPandas()
+    # conservative: everything at/after the cutoff is still there
+    want = before[before["bucket"] >= cutoff]
+    assert len(after) >= len(want)
+    got_keys = set(zip(after["url"], after["bucket"]))
+    assert set(zip(want["url"], want["bucket"])) <= got_keys
+    # nothing fully-expired survives: every remaining chunk's range ends
+    # at or after the cutoff
+    enc = spark.read.parquet(f"{out}/snap=s1/encoded_tier=1h")
+    assert enc.where(F.col("end_bucket") < F.lit(cutoff)).count() == 0
+    # audit row recorded
+    log = spark.read.parquet(f"{out}/expiry_log").collect()
+    assert log and log[0]["chunks_dropped"] == rep["chunks_dropped"]
+
+
+def test_expire_snapshots_gc_after_compaction(spark, pages_small, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sprintz_spark.plans import retention as RT
+
+    out = str(tmp_path / "store")
+    split = pages_small.agg(
+        F.date_trunc("day", F.min("warc_ts")) + F.expr("INTERVAL 2 DAYS")
+    ).collect()[0][0]
+    RT.run_retention(
+        pages_small.where(F.col("warc_ts") < F.lit(split)), out, "s1",
+        n_buckets=2, chunk_rows=8,
+    )
+    RT.run_retention(
+        pages_small.where(F.col("warc_ts") >= F.lit(split)), out, "s2",
+        n_buckets=2, chunk_rows=8,
+    )
+    RT.compact_tiers(spark, out, ["s1", "s2"], "c1", n_buckets=2)
+    full = RT.read_tier_decoded(spark, out, "c1", "1h").toPandas()
+
+    rep = RT.expire_snapshots(spark, out, keep_ids=["c1"])
+    assert sorted(rep["dropped_snapshots"]) == ["s1", "s2"]
+    assert not os.path.exists(f"{out}/snap=s1")
+    # compacted snapshot intact and readable
+    still = RT.read_tier_decoded(spark, out, "c1", "1h").toPandas()
+    assert len(still) == len(full)
+    # manifest rewritten without the dropped snapshots' rows
+    man = RT.read_manifest(spark, out)
+    sids = {r["snapshot_id"] for r in man.select("snapshot_id").distinct().collect()}
+    assert sids == {"c1"}
