@@ -63,9 +63,11 @@ def asof_join(
     out = filled.where(F.col("_is_left") == 1)
     keep = F.lit(True)
     if tolerance_seconds is not None:
-        keep = (
-            F.col("_f_ts").isNotNull()
-            & (F.col("_ts").cast("double") - F.col("_f_ts").cast("double") <= tolerance_seconds)
+        # exact µs integer comparison (works for TIMESTAMP and
+        # TIMESTAMP_NTZ inputs alike; float-seconds casts do neither)
+        us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+        keep = F.col("_f_ts").isNotNull() & (
+            us("_ts") - us("_f_ts") <= F.lit(int(tolerance_seconds * 1_000_000))
         )
     sel = [F.col(key), F.col("_ts").alias(left_ts)]
     sel += [F.col(c) for c in left.columns if c not in (key, left_ts)]

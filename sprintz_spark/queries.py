@@ -1090,6 +1090,54 @@ FROM purchases p ASOF LEFT JOIN clicks c
 """
 
 
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness bound (pandas merge_asof tolerance /
+    QuestDB ASOF ... TOLERANCE): matches older than 1 hour are dropped
+    to NULL. Gates the operator's tolerance branch, summarized per user
+    so the NULL-vs-match split is hash-compared exactly."""
+    from sprintz_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(_cents()).alias("click_cents"))
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["click_cents"], tolerance_seconds=3600.0,
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("click_cents").alias("n_matched"),
+        F.sum("click_cents").alias("matched_cents_sum"),
+    )
+
+
+_ASOF_TOL_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, ts, max({_CENTS_SQL}) AS click_cents
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT p.user_id, p.event_id,
+         CASE WHEN c.ts IS NOT NULL
+               AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600::BIGINT * 1000000
+              THEN c.click_cents END AS click_cents
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT user_id, count(*) AS n_purchases,
+       count(click_cents) AS n_matched,
+       CAST(sum(click_cents) AS BIGINT) AS matched_cents_sum
+FROM m GROUP BY user_id
+"""
+
+
 def q_range_join_concurrency(spark, sf_dir):
     """Range join (interval containment) done scale-safely: session
     intervals explode into day bins, events equi-join on the bin, exact
@@ -1866,6 +1914,7 @@ def queries() -> dict:
         "ann_topk": q_ann_topk,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "asof_join": q_asof_join,
+        "asof_tolerance": q_asof_tolerance,
         "sessionize": q_sessionize,
         "range_join_concurrency": q_range_join_concurrency,
         "value_percentiles": q_value_percentiles,
@@ -1919,6 +1968,7 @@ def oracles() -> dict:
         "ann_topk": _ANN_SQL,
         "ivf_kmeans_topk": _ANN_SQL,
         "asof_join": _ASOF_SQL,
+        "asof_tolerance": _ASOF_TOL_SQL,
         "sessionize": _SESSION_SQL,
         "range_join_concurrency": _RANGE_JOIN_SQL,
         "value_percentiles": _PERCENTILE_SQL,
