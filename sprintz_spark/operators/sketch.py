@@ -79,3 +79,58 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
         s.cast("long").alias("s_harm"),
         F.round(est, 0).cast("long").alias("estimate"),
     )
+
+
+# --- count-min sketch (frequency estimation) -------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 10  # 1024 counters per row: eps ~ e/w ~ 0.27% of stream
+
+
+def cms_cells(df: DataFrame, value: Column) -> DataFrame:
+    """(row, cell, cnt) counter table of the count-min sketch (Cormode &
+    Muthukrishnan 2005): DEPTH independent hashes via md5 of
+    "<row>:<value>", each bucketed into WIDTH cells. Counters are sums,
+    so the whole state is one map-side-combined aggregation; only
+    DEPTH * WIDTH rows ever shuffle regardless of stream size."""
+    rows = None
+    for r in range(CMS_DEPTH):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{r}:"), value.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        part = df.select(
+            F.lit(r).alias("row"),
+            (h % CMS_WIDTH).alias("cell"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.groupBy("row", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(cells: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-frequency estimates: min over the DEPTH counters each key
+    hashes to (never under-counts; over-counts by at most eps*N whp).
+    ``keys`` is broadcast — the sketch side is already tiny."""
+    probes = None
+    for r in range(CMS_DEPTH):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{r}:"), F.col(key_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        p = keys.select(
+            F.col(key_col), F.lit(r).alias("row"), (h % CMS_WIDTH).alias("cell")
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        cells.join(F.broadcast(probes), ["row", "cell"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )

@@ -745,6 +745,54 @@ FROM e
 """
 
 
+def q_cms_user_counts(spark, sf_dir):
+    """Count-min frequency sketch over the event stream, gated end to
+    end: the DEPTH x WIDTH counter state is one map-side-combined
+    aggregation (1024x4 rows shuffle regardless of stream size), and
+    point estimates for the 5 heaviest users ride next to their exact
+    counts. The oracle rebuilds every counter and probe in SQL (same
+    md5 row-salted hashing), so the sketch state — not just the
+    estimates — is hash-compared; est_count >= exact_count always (CMS
+    never under-counts), pinned by test_sketch."""
+    from sprintz_spark.operators.sketch import cms_cells, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    cells = cms_cells(ev, F.col("user_id"))
+    exact5 = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("user_id"))
+        .limit(5)
+    )
+    est = cms_estimate(cells, exact5.select("user_id"), "user_id")
+    return est.join(exact5, "user_id")
+
+
+_CMS_SQL = """
+WITH cells AS (
+  SELECT r AS row,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                             CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1024 AS cell,
+         count(*) AS cnt
+  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(r)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id
+  ORDER BY exact_count DESC, user_id ASC LIMIT 5
+), probes AS (
+  SELECT user_id, exact_count, r AS row,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                             CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1024 AS cell
+  FROM exact CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(r)
+)
+SELECT p.user_id, CAST(min(c.cnt) AS BIGINT) AS est_count, p.exact_count
+FROM probes p JOIN cells c ON c.row = p.row AND c.cell = p.cell
+GROUP BY p.user_id, p.exact_count
+"""
+
+
 # --- TPC-H-style relational aggregate (decimal-exact) ---------------------
 
 def q_pricing_summary(spark, sf_dir):
@@ -1926,6 +1974,7 @@ def queries() -> dict:
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
         "hll_users": q_hll_users,
+        "cms_user_counts": q_cms_user_counts,
         "m4_downsample": q_m4_downsample,
         "counter_rate": q_counter_rate,
         "zscore_anomalies": q_zscore_anomalies,
@@ -1984,6 +2033,7 @@ def oracles() -> dict:
         "text_extract_verified": _TEXT_EXTRACT_SQL,
         "ivf_topk": _IVF_RECALL_SQL,
         "hll_users": _hll_sql(),
+        "cms_user_counts": _CMS_SQL,
         "m4_downsample": _M4_SQL,
         "counter_rate": _COUNTER_RATE_SQL,
         "zscore_anomalies": _ZSCORE_SQL,

@@ -34,3 +34,19 @@ def test_hll_small_range_linear_counting(spark):
     row = hll_estimate(hll_registers(df, F.col("v"))).first()
     assert row["v_zero"] > 0
     assert abs(row["estimate"] - 200) <= 10
+
+
+def test_cms_never_undercounts_and_bounds(spark):
+    from sprintz_spark.operators.sketch import cms_cells, cms_estimate
+
+    n = 20_000
+    # Zipf-ish stream: key k appears ~ n/(k+1) times
+    df = spark.range(n).select(
+        (F.floor(F.sqrt(F.col("id") * 4 + 1) / 2)).alias("v")
+    )
+    exact = {r["v"]: r["c"] for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+    keys = spark.createDataFrame([(k,) for k in list(exact)[:50]], "v long")
+    est = {r["v"]: r["est_count"] for r in cms_estimate(cms_cells(df, F.col("v")), keys, "v").collect()}
+    for k, e in est.items():
+        assert e >= exact[k]  # CMS one-sided error
+        assert e <= exact[k] + 0.01 * n  # eps*N bound with slack
