@@ -134,3 +134,56 @@ def cms_estimate(cells: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+# --- Bloom filter (set membership) -----------------------------------------
+
+BLOOM_BITS = 1 << 13  # 8192 bits
+BLOOM_K = 4
+
+
+def bloom_bits(df: DataFrame, value: Column) -> DataFrame:
+    """(bit,) rows — the set bit positions of a Bloom filter over the
+    distinct values of ``value`` (Bloom 1970). K row-salted md5 hashes
+    per value; the state is a distinct-set of at most BLOOM_BITS rows,
+    map-side combined, so shuffle volume is bounded by the filter size
+    regardless of stream size."""
+    rows = None
+    for r in range(BLOOM_K):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"b{r}:"), value.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        p = df.select((h % BLOOM_BITS).alias("bit"))
+        rows = p if rows is None else rows.unionByName(p)
+    return rows.distinct()
+
+
+def bloom_contains(bits: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """(key, maybe_present) — true iff ALL K probe bits are set (no
+    false negatives; false positives at the standard (1-e^-kn/m)^k
+    rate). The bit set is broadcast: it is at most BLOOM_BITS rows."""
+    probes = None
+    for r in range(BLOOM_K):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"b{r}:"), F.col(key_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        p = keys.select(F.col(key_col), (h % BLOOM_BITS).alias("bit"))
+        probes = p if probes is None else probes.unionByName(p)
+    hits = (
+        probes.join(F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left")
+        .groupBy(key_col)
+        .agg((F.count(F.lit(1)) == F.sum(F.coalesce("_set", F.lit(0)))).alias(
+            "maybe_present"
+        ))
+    )
+    return hits

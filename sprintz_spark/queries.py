@@ -793,6 +793,57 @@ GROUP BY p.user_id, p.exact_count
 """
 
 
+def q_bloom_purchasers(spark, sf_dir):
+    """Bloom-filter membership, gated end to end: the filter is built
+    over distinct purchasing users (bit-set state is at most 8192 rows,
+    map-side combined), every user probes it, and the aggregate reports
+    probed/maybe/true counts — so the oracle's identical md5 bit math
+    pins the exact false-positive behavior, not just the counts' order
+    of magnitude. No false negatives by construction (test_sketch)."""
+    from sprintz_spark.operators.sketch import bloom_bits, bloom_contains
+
+    ev = _t(spark, sf_dir, "events")
+    purch = (
+        ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    bits = bloom_bits(purch, F.col("user_id"))
+    users = ev.select("user_id").distinct()
+    verdicts = bloom_contains(bits, users, "user_id")
+    return (
+        verdicts.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("maybe_present").cast("long")).alias("n_maybe"),
+        )
+        .crossJoin(purch.agg(F.count(F.lit(1)).alias("n_true")))
+    )
+
+
+_BLOOM_SQL = """
+WITH purch AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), bits AS (
+  SELECT DISTINCT ('0x' || substr(md5('b' || CAST(r AS VARCHAR) || ':' ||
+                   CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 8192 AS bit
+  FROM purch CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(r)
+), users AS (
+  SELECT DISTINCT user_id FROM events
+), probes AS (
+  SELECT user_id, ('0x' || substr(md5('b' || CAST(r AS VARCHAR) || ':' ||
+                   CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 8192 AS bit
+  FROM users CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(r)
+), verdicts AS (
+  SELECT p.user_id,
+         count(*) = sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+           AS maybe
+  FROM probes p LEFT JOIN bits b ON p.bit = b.bit GROUP BY p.user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       (SELECT count(*) FROM purch) AS n_true
+FROM verdicts
+"""
+
+
 # --- TPC-H-style relational aggregate (decimal-exact) ---------------------
 
 def q_pricing_summary(spark, sf_dir):
@@ -1975,6 +2026,7 @@ def queries() -> dict:
         "ivf_topk": q_ivf_topk,
         "hll_users": q_hll_users,
         "cms_user_counts": q_cms_user_counts,
+        "bloom_purchasers": q_bloom_purchasers,
         "m4_downsample": q_m4_downsample,
         "counter_rate": q_counter_rate,
         "zscore_anomalies": q_zscore_anomalies,
@@ -2034,6 +2086,7 @@ def oracles() -> dict:
         "ivf_topk": _IVF_RECALL_SQL,
         "hll_users": _hll_sql(),
         "cms_user_counts": _CMS_SQL,
+        "bloom_purchasers": _BLOOM_SQL,
         "m4_downsample": _M4_SQL,
         "counter_rate": _COUNTER_RATE_SQL,
         "zscore_anomalies": _ZSCORE_SQL,

@@ -50,3 +50,18 @@ def test_cms_never_undercounts_and_bounds(spark):
     for k, e in est.items():
         assert e >= exact[k]  # CMS one-sided error
         assert e <= exact[k] + 0.01 * n  # eps*N bound with slack
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    from sprintz_spark.operators.sketch import bloom_bits, bloom_contains
+
+    members = spark.range(500).select((F.col("id") * 3).alias("v"))
+    bits = bloom_bits(members, F.col("v"))
+    # every member must test positive
+    got = bloom_contains(bits, members, "v").collect()
+    assert all(r["maybe_present"] for r in got)
+    # non-members: false-positive rate near (1 - e^(-kn/m))^k ~ 4.7%
+    # for k=4, n=500, m=8192; assert well under 5x that
+    non = spark.range(2000).select((F.col("id") * 3 + 1).alias("v"))
+    fp = sum(r["maybe_present"] for r in bloom_contains(bits, non, "v").collect())
+    assert fp / 2000 < 0.25
