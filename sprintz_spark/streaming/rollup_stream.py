@@ -244,3 +244,42 @@ def stream_sessionize(
             "n_events",
         )
     )
+
+
+def stream_m4(
+    events_stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "cents",
+    order_col: str = "event_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming M4 downsampling (batch analog:
+    operators/downsample.py::m4_downsample): per (key, tumbling window)
+    min/max/first/last, where first/last follow (ts, order_col) via
+    min_by/max_by on a struct — all algebraic aggregates, so the
+    streaming state is one row per open (key, window) and append mode
+    emits each bucket exactly once after the watermark passes."""
+    w = F.window(ts_col, window).alias("w")
+    ordk = F.struct(F.col(ts_col), F.col(order_col))
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), w)
+        .agg(
+            F.min(val_col).alias("v_min"),
+            F.max(val_col).alias("v_max"),
+            F.min_by(F.col(val_col), ordk).alias("v_first"),
+            F.max_by(F.col(val_col), ordk).alias("v_last"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("bucket"),
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+            "n",
+        )
+    )

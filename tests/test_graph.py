@@ -58,3 +58,13 @@ def test_dedup_clusters_singletons(spark):
     assert m == {0: 0, 1: 1, 2: 1, 3: 3, 4: 1, 5: 5}
     keepers = {d for d, c in m.items() if d == c}
     assert keepers == {0, 1, 3, 5}
+
+
+def test_connected_components_empty_pairs(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(4)])
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(docs, empty).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}

@@ -258,3 +258,73 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(want[got.columns], got)
+
+
+def test_stream_m4_matches_batch(spark, tmp_path):
+    """Streaming M4 (tumbling 1h min/max/first/last) == the batch
+    m4_downsample over the same events, modulo the window-start bucket
+    convention (both use date_trunc-aligned tumbling windows)."""
+    from sprintz_spark.operators.downsample import m4_downsample
+    from sprintz_spark.streaming.rollup_stream import stream_m4
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .cache()
+    )
+    src = str(tmp_path / "m4_src")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    ev.where(F.col("ts") < F.lit(mid)).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)
+    ev.where(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    spark.createDataFrame(
+        [(-999, max_ts + dt.timedelta(days=30), -1, 0)],
+        schema="user_id long, ts timestamp, event_id long, cents long",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = str(tmp_path / "m4_out")
+    q = (
+        stream_m4(stream, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "m4_chk"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(out)
+        .where(F.col("user_id") != -999)
+        .toPandas()
+        .sort_values(["user_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    want = (
+        m4_downsample(
+            ev,
+            key_cols=["user_id"],
+            bucket=F.date_trunc("hour", "ts"),
+            val_col="cents",
+            order=F.struct(F.col("ts"), F.col("event_id")),
+        )
+        .toPandas()
+        .sort_values(["user_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
