@@ -78,6 +78,8 @@ def ewma_decode(zerrs: np.ndarray, w: int) -> np.ndarray:
     assert w in (8, 16)
     su, ss = _UNSIGNED[w], _SIGNED[w]
     errs = zigzag.decode(zerrs.astype(su, copy=False)).view(ss)
+    if not len(errs):
+        return np.zeros(0, su)
     cu = _COUNTER_UNSIGNED[w]
     # sign-extend residuals into the counter width, then wrapping-cumsum:
     # acc_before[t] = sum(errs[:t]) mod 2^cbits

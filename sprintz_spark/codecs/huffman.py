@@ -159,7 +159,8 @@ def huffman_encode(data) -> bytes:
     # sub-block bit offsets (every bs symbols)
     ends = np.cumsum(sym_lens, dtype=np.int64)
     total_bits = int(ends[-1]) if n else 0
-    assert total_bits < (1 << 31), "blob too large for one huffman frame"
+    if total_bits >= (1 << 31):  # data-integrity bound: never an assert
+        raise ValueError("blob too large for one huffman frame (>=2^31 bits)")
     ends = ends.astype(np.int32)
     starts_bits = ends - sym_lens  # per-symbol start bit
     blk_starts = starts_bits[::bs].astype(np.int64) if n else np.zeros(0, np.int64)

@@ -3,7 +3,8 @@
 python/main_dfsqueeze.py:53-80 — combinations of quantize, delta variants,
 byte shuffle, and general-purpose byte codecs).
 
-Container format: u8 pipeline-id | u8 dtype-code | u32 n | payload.
+Container format (v1): u8 magic 0xA5 | u8 version | u8 pipeline-id |
+u8 dtype-code | u32 n | payload.
 ``search_encode`` is the max-ratio path (try-all, data-dependent);
 the hot path remains sprintz.encode_batch_concat's cheap delta/dd cost
 model. Pipelines always round-trip exactly (tests sweep the reference's
@@ -79,8 +80,8 @@ def _gorilla():
     )
 
 
-# APPEND-ONLY: the list index is the on-disk pipeline id (byte 0 of the
-# search container), so existing entries must never be reordered or
+# APPEND-ONLY: the list index is the on-disk pipeline id (byte 2 of the
+# v1 search container, after the magic/version bytes), so existing entries must never be reordered or
 # removed — new pipelines go at the END. (Round-2 briefly inserted
 # entries mid-list; restored to the original prefix + appended tail.)
 PIPELINES: list[tuple[str, tuple]] = [

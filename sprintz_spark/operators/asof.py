@@ -67,7 +67,7 @@ def asof_join(
         # TIMESTAMP_NTZ inputs alike; float-seconds casts do neither)
         us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
         keep = F.col("_f_ts").isNotNull() & (
-            us("_ts") - us("_f_ts") <= F.lit(int(tolerance_seconds * 1_000_000))
+            us("_ts") - us("_f_ts") <= F.lit(round(tolerance_seconds * 1_000_000))
         )
     sel = [F.col(key), F.col("_ts").alias(left_ts)]
     sel += [F.col(c) for c in left.columns if c not in (key, left_ts)]

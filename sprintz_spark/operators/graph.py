@@ -48,9 +48,12 @@ def connected_components(
     )
     # label(x) starts as min(x, min direct neighbor) — one aggregation
     # over the symmetrized edge list
+    # materialize the symmetrized edge list ONCE: every propagation round
+    # joins against it, and without this the full upstream pair pipeline
+    # (LSH + verify over the corpus) would re-execute per round
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("mn"))

@@ -393,10 +393,15 @@ def expire_tier(
     read_tier_range prunes on, so expiry cost is a metadata-filtered
     parquet rewrite of the surviving chunks, never a codec pass.
 
-    The rewrite is staged to a sibling directory and swapped in with a
-    rename (atomic on a local/posix store; object-store deployments
-    would use a metadata pointer swap instead — same guard as
-    lineage.json). An audit row lands in <out_dir>/expiry_log.
+    The rewrite is staged to a sibling directory and swapped in with two
+    renames. NOT fully atomic: a crash between the renames leaves the
+    canonical dir absent with both `.expiring` (new) and `.expired`
+    (old) siblings present — recovery is renaming either back; data is
+    never destroyed before the new dir is in place. Object-store
+    deployments would swap a metadata pointer instead (same guard as
+    lineage.json). An audit row lands in <out_dir>/expiry_log, and the
+    tier's manifest rows are recomputed from the surviving chunks so
+    tier_ratio_report never counts expired bytes.
     """
     enc_path = os.path.join(out_dir, f"snap={snapshot_id}", f"encoded_tier={tier}")
     enc = spark.read.parquet(enc_path)
@@ -426,6 +431,37 @@ def expire_tier(
     os.rename(enc_path, old)
     os.rename(staged, enc_path)
     shutil.rmtree(old)
+    # recompute this (tier, snapshot)'s manifest rows from the surviving
+    # chunks — otherwise tier_ratio_report and any manifest-vs-store
+    # reconciliation keep counting the expired chunks' bytes and rows
+    man = read_manifest(spark, out_dir)
+    if man is not None:
+        enc_done = spark.read.parquet(enc_path)
+        fresh = (
+            enc_done.groupBy("part")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum("n").alias("n_rows"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("comp_bytes").alias("comp_bytes"),
+                F.sum("encode_secs").alias("encode_secs"),
+                F.min("start_bucket").alias("min_bucket"),
+            )
+            .withColumn("tier", F.lit(tier))
+            .withColumn("snapshot_id", F.lit(snapshot_id))
+            .withColumn("wall_secs", F.lit(0.0))
+        )
+        others = man.where(
+            ~((F.col("tier") == tier) & (F.col("snapshot_id") == snapshot_id))
+        )
+        staged_m = _manifest_path(out_dir) + ".rewriting"
+        others.unionByName(fresh.select(*man.columns)).write.mode(
+            "overwrite"
+        ).parquet(staged_m)
+        old_m = _manifest_path(out_dir) + ".old"
+        os.rename(_manifest_path(out_dir), old_m)
+        os.rename(staged_m, _manifest_path(out_dir))
+        shutil.rmtree(old_m)
     log_row = [
         (
             tier,
@@ -448,25 +484,25 @@ def expire_tier(
 def expire_snapshots(
     spark: SparkSession, out_dir: str, keep_ids: list[str]
 ) -> dict:
-    """Garbage-collect whole snapshots after compaction: delete every
-    snap=<id> directory NOT in ``keep_ids`` and rewrite the manifest
-    without their rows (staged + rename, same atomicity story as
-    expire_tier). The compacted snapshot's lineage.json still records
-    which source snapshots it merged."""
+    """Garbage-collect whole snapshots after compaction: rewrite the
+    manifest WITHOUT the doomed snapshots' rows first, then delete their
+    snap=<id> directories. Ordering matters for crash safety: a crash
+    after the manifest swap but before the deletes leaves only orphan
+    directories (harmless, re-runnable); the reverse order could leave
+    manifest rows pointing at deleted data. The manifest swap itself is
+    two renames — a crash between them leaves `.rewriting`/`.old`
+    siblings to recover from, never a destroyed manifest. The compacted
+    snapshot's lineage.json still records which sources it merged."""
     import shutil
 
     keep = set(keep_ids)
-    dropped: list[str] = []
-    for name in sorted(os.listdir(out_dir)):
-        if not name.startswith("snap="):
-            continue
-        sid = name.split("=", 1)[1]
-        if sid in keep:
-            continue
-        shutil.rmtree(os.path.join(out_dir, name))
-        dropped.append(sid)
+    doomed = [
+        name.split("=", 1)[1]
+        for name in sorted(os.listdir(out_dir))
+        if name.startswith("snap=") and name.split("=", 1)[1] not in keep
+    ]
     man = read_manifest(spark, out_dir)
-    if man is not None and dropped:
+    if man is not None and doomed:
         staged = _manifest_path(out_dir) + ".rewriting"
         man.where(F.col("snapshot_id").isin(list(keep))).write.mode(
             "overwrite"
@@ -475,4 +511,6 @@ def expire_snapshots(
         os.rename(_manifest_path(out_dir), old)
         os.rename(staged, _manifest_path(out_dir))
         shutil.rmtree(old)
-    return {"dropped_snapshots": dropped, "kept": sorted(keep)}
+    for sid in doomed:
+        shutil.rmtree(os.path.join(out_dir, f"snap={sid}"))
+    return {"dropped_snapshots": doomed, "kept": sorted(keep)}

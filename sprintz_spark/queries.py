@@ -566,9 +566,14 @@ def q_text_extract_verified(spark, sf_dir):
 
 # --- timeseries surface: M4 / counter rate / rolling z-score --------------
 
-# total order within a user's series: µs since 2024-01-01 then event_id
-# (ts alone is unique in the synthetic tables, but the composite stays
-# deterministic if regenerated data ever ties timestamps)
+# total order within a user's series: µs since 2024-01-01 then event_id.
+# DOMAIN (checked against the testdata family): the composite is a true
+# (ts, event_id) lexicographic order only while event_id < 10^6 and ts
+# stays within ~106 days of the base (beyond that the *10^6 shift
+# overflows BIGINT — DuckDB raises, Spark non-ANSI wraps). Current data:
+# event_id <= 10^5, span 30 days. ts alone is unique per user in the
+# synthetic tables; the event_id term is a deterministic tie-break for
+# regenerated data, not a correctness requirement.
 _BASE_US = 1704067200000000  # 2024-01-01T00:00:00Z in unix micros
 
 
@@ -701,11 +706,12 @@ def q_hll_users(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     regs = hll_registers(ev, F.col("user_id"))
-    chk = regs.agg(
-        F.sum(F.col("bucket") * F.col("r")).alias("reg_checksum")
-    )
     exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
-    return hll_estimate(regs).crossJoin(chk).crossJoin(exact)
+    est = hll_estimate(
+        regs,
+        extra_aggs=(F.sum(F.col("bucket") * F.col("r")).alias("reg_checksum"),),
+    )
+    return est.crossJoin(exact)
 
 
 def _hll_sql() -> str:

@@ -162,6 +162,15 @@ def test_expire_tier_drops_old_chunks_conservatively(spark, pages_small, tmp_pat
     # audit row recorded
     log = spark.read.parquet(f"{out}/expiry_log").collect()
     assert log and log[0]["chunks_dropped"] == rep["chunks_dropped"]
+    # manifest recomputed: no stale bytes from expired chunks
+    man = RT.read_manifest(spark, out)
+    man_raw = (
+        man.where((F.col("tier") == "1h") & (F.col("snapshot_id") == "s1"))
+        .agg(F.sum("raw_bytes"))
+        .first()[0]
+    )
+    store_raw = enc.agg(F.sum("raw_bytes")).first()[0]
+    assert man_raw == store_raw
 
 
 def test_expire_snapshots_gc_after_compaction(spark, pages_small, tmp_path):
