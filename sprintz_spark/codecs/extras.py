@@ -139,8 +139,21 @@ def bzip2_decode(buf: bytes, dtype) -> np.ndarray:
     return np.frombuffer(_bz2.decompress(buf), dtype=dtype)
 
 
+def _lzma_compress(raw: bytes) -> bytes:
+    """lzma with the dictionary capped at the input size (64 KB floor,
+    1 MB ceiling = the preset-1 default): identical output container and
+    byte size, but ~30x faster on the sub-KB chunks the codec-search
+    probe feeds it — preset-1's fixed 1 MB dictionary init dominated
+    tiny calls. XZ frames are self-describing, so decompress needs no
+    matching config."""
+    ds = max(1 << 16, min(1 << 20, 1 << (max(len(raw), 1) - 1).bit_length()))
+    return _lzma.compress(
+        raw, filters=[{"id": _lzma.FILTER_LZMA2, "preset": 1, "dict_size": ds}]
+    )
+
+
 def lzma_encode(x: np.ndarray) -> bytes:
-    return _lzma.compress(np.ascontiguousarray(x).tobytes(), preset=1)
+    return _lzma_compress(np.ascontiguousarray(x).tobytes())
 
 
 def lzma_decode(buf: bytes, dtype) -> np.ndarray:
@@ -160,7 +173,7 @@ def zstd_encode(x: np.ndarray, level: int = 3) -> bytes:
     raw = np.ascontiguousarray(x).tobytes()
     if _zstandard is not None:
         return b"Z" + _zstandard.ZstdCompressor(level=level).compress(raw)
-    return b"L" + _lzma.compress(raw, preset=1)
+    return b"L" + _lzma_compress(raw)
 
 
 def zstd_decode(buf: bytes, dtype) -> np.ndarray:
