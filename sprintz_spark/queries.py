@@ -850,6 +850,35 @@ FROM verdicts
 """
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic uniform sample WITHOUT replacement: the 25 docs with
+    the smallest salted md5 hash. Unlike rand()-based sampling this is
+    reproducible across runs, engines, and repartitioning (the property
+    a training pipeline needs to re-derive the same eval subset years
+    later), and it compiles to TakeOrderedAndProject — per-partition
+    partial top-k, no global sort. The oracle recomputes every hash."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select("doc_id", h.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(25)
+    )
+
+
+_HASH_SAMPLE_SQL = """
+SELECT doc_id,
+       ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id LIMIT 25
+"""
+
+
 # --- TPC-H-style relational aggregate (decimal-exact) ---------------------
 
 def q_pricing_summary(spark, sf_dir):
@@ -2039,6 +2068,7 @@ def queries() -> dict:
         "dedup_clusters": q_dedup_clusters,
         "top_ngrams": q_top_ngrams,
         "hash_split": q_hash_split,
+        "hash_sample": q_hash_sample,
         "image_features": q_image_features,
         "image_resize": q_image_resize,
         "audio_stats": q_audio_stats,
@@ -2099,6 +2129,7 @@ def oracles() -> dict:
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,
         "hash_split": _HASH_SPLIT_SQL,
+        "hash_sample": _HASH_SAMPLE_SQL,
         # rows-only (no SQL equivalent):
         # codec_search_stats (chosen mode is engine-internal)
     }
