@@ -111,6 +111,21 @@ def test_ann_topk_broadcasts_query_vector(spark):
     assert _count(plan, "Exchange hashpartitioning") == 0
 
 
+def test_topk_heavy_users_is_take_ordered(spark):
+    """Round-4 verdict item 1: the global user-ranking must compile to
+    TakeOrderedAndProject (per-partition partial top-10 + tiny merge).
+    The only Window in the plan runs AFTER the limit, over 10 rows, so
+    there must be no Exchange SinglePartition anywhere."""
+    from sprintz_spark import queries as Q
+
+    plan = _plan(Q.queries()["topk_heavy_users"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    # the window must sit above the limit: TakeOrderedAndProject appears
+    # below (= after, in toString order) the Window operator
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
 def test_knn_partial_topk_via_window_group_limit(spark):
     """Pin the WindowGroupLimit dependency (round-3 verdict item 10): the
     per-(query, partition) partial top-k that knn_bruteforce's docstring
