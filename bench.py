@@ -1,6 +1,6 @@
 """Benchmark harness: headline queries + the encode/rollup pipeline.
 
-Prints ONE compact JSON headline line (<500 bytes — the driver records only
+Prints ONE compact JSON headline line (<900 bytes — the driver records only
 the last 2000 chars of stdout, so the line must never outgrow that window):
   {"metric": "...", "value": total_sec, "unit": "sec", "sf": ...,
    "n_queries": N, "queries": "BENCH.json", pipeline/fused/decode
@@ -220,7 +220,7 @@ def main() -> None:
     # chars of stdout, and the full 2.3 KB per-query line lost its head two
     # rounds running (BENCH_r02/r03 "parsed": null). So: the full object
     # (per-query timings, leg details) goes ONLY to BENCH.json, and the
-    # final printed line is a <500-byte headline the capture can never
+    # final printed line is a <900-byte headline the capture can never
     # truncate.
     repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "BENCH.json"), "w") as f:

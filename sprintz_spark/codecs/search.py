@@ -178,16 +178,26 @@ def search_encode(
 
 
 def search_decode(buf: bytes) -> np.ndarray:
-    if buf[0] != MAGIC or buf[1] != VERSION:
-        raise ValueError(
-            "not a v1 search container (bad magic/version bytes "
-            f"{buf[0]:#04x} {buf[1]:#04x}); refusing to guess a pipeline id"
-        )
-    pipeline_i = buf[2]
-    dt = np.dtype(_DTYPES[buf[3]])
-    n = int(np.frombuffer(buf[4:8], dtype=np.uint32)[0])
-    _name, (_enc, dec) = PIPELINES[pipeline_i]
-    return dec(buf[8:], dt, n)
+    if buf[0] == MAGIC and buf[1] == VERSION:
+        pipeline_i = buf[2]
+        dt = np.dtype(_DTYPES[buf[3]])
+        n = int(np.frombuffer(buf[4:8], dtype=np.uint32)[0])
+        _name, (_enc, dec) = PIPELINES[pipeline_i]
+        return dec(buf[8:], dt, n)
+    if buf[0] < len(PIPELINES):
+        # back-compat: pre-versioned (round-3) container — bare pipeline
+        # id first, 6-byte header [id | dtype | u32 n]. The id byte is
+        # always <= 0x0B so it can never alias the 0xA5 magic; retention
+        # stores written before the v1 header stay readable.
+        pipeline_i = buf[0]
+        dt = np.dtype(_DTYPES[buf[1]])
+        n = int(np.frombuffer(buf[2:6], dtype=np.uint32)[0])
+        _name, (_enc, dec) = PIPELINES[pipeline_i]
+        return dec(buf[6:], dt, n)
+    raise ValueError(
+        "not a search container (bad magic/version bytes "
+        f"{buf[0]:#04x} {buf[1]:#04x}); refusing to guess a pipeline id"
+    )
 
 
 def search_report(x: np.ndarray) -> dict:

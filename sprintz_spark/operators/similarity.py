@@ -101,15 +101,14 @@ def ivf_topk(
     dim = len(queries.select(q_vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
-    flips = np.left_shift(1, np.arange(n_planes, dtype=np.int32))
-    masks = [np.int32(0)]
-    if hamming_probe >= 1:
-        masks.extend(flips.tolist())
-    if hamming_probe >= 2:
-        from itertools import combinations
+    from itertools import combinations
 
+    flips = np.left_shift(1, np.arange(n_planes, dtype=np.int32))
+    masks = [0]
+    for d in range(1, min(hamming_probe, n_planes) + 1):
         masks.extend(
-            int(flips[a] | flips[b]) for a, b in combinations(range(n_planes), 2)
+            int(np.bitwise_or.reduce(flips[list(c)]))
+            for c in combinations(range(n_planes), d)
         )
     mask_arr = np.asarray(masks, dtype=np.int32)
 

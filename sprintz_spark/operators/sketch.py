@@ -140,16 +140,21 @@ def cms_cells(df: DataFrame, value: Column) -> DataFrame:
 def cms_estimate(cells: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     """Point-frequency estimates: min over the DEPTH counters each key
     hashes to (never under-counts; over-counts by at most eps*N whp).
-    ``keys`` is broadcast — the sketch side is already tiny."""
+
+    Probes LEFT-join the counter table with the (bounded, <= DEPTH*WIDTH
+    rows) sketch side broadcast, so a key whose probe cell holds no
+    counter row contributes cnt=0 to the min — absent keys estimate 0
+    instead of vanishing or over-estimating from their non-empty cells.
+    The key list may itself be stream-scale; it is never broadcast."""
     prefixes = [str(r) for r in range(CMS_DEPTH)]
     probes = keys.select(
         F.col(key_col),
         F.explode(_probe_rows(F.col(key_col), prefixes, CMS_WIDTH)).alias("p"),
     ).select(key_col, F.col("p.row").alias("row"), F.col("p.cell").alias("cell"))
     return (
-        cells.join(F.broadcast(probes), ["row", "cell"])
+        probes.join(F.broadcast(cells), ["row", "cell"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
 
 

@@ -62,10 +62,14 @@ def test_container_magic_version():
     buf = S.search_encode(x)
     assert buf[0] == S.MAGIC and buf[1] == S.VERSION
     # a pre-versioned (round-3) blob started with the bare pipeline id
-    # (<= 0x0B) — must be refused loudly, never mis-decoded
-    stale = bytes([0, 7]) + buf[4:]
+    # (<= 0x0B, can never alias the 0xA5 magic) — the back-compat branch
+    # must still decode it, so retention stores written before the v1
+    # header stay readable
+    legacy = buf[2:]  # [id | dtype | u32 n | payload]
+    np.testing.assert_array_equal(S.search_decode(legacy).view(np.int64), x)
+    # bytes that are neither v1 nor a plausible legacy id are refused
     with pytest.raises(ValueError, match="magic/version"):
-        S.search_decode(stale)
+        S.search_decode(bytes([0x7F]) + buf[1:])
     with pytest.raises(ValueError, match="magic/version"):
         S.search_decode(bytes([S.MAGIC, 99]) + buf[2:])
 

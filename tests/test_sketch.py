@@ -52,6 +52,23 @@ def test_cms_never_undercounts_and_bounds(spark):
         assert e <= exact[k] + 0.01 * n  # eps*N bound with slack
 
 
+def test_cms_absent_key_estimates_zero_or_small(spark):
+    """A probed key never seen in the stream must still produce an output
+    row (left-join semantics): est 0 when one of its cells is empty,
+    never silently dropped."""
+    from sprintz_spark.operators.sketch import cms_cells, cms_estimate
+
+    df = spark.range(100).select(F.col("id").alias("v"))
+    cells = cms_cells(df, F.col("v"))
+    absent = spark.createDataFrame([(10**9 + k,) for k in range(20)], "v long")
+    est = {r["v"]: r["est_count"] for r in cms_estimate(cells, absent, "v").collect()}
+    assert len(est) == 20  # every probed key appears in the output
+    # 100 distinct values over 4x1024 cells: most probe sets hit an empty
+    # cell, so absent keys overwhelmingly estimate exactly 0
+    assert sum(1 for e in est.values() if e == 0) >= 15
+    assert all(e >= 0 for e in est.values())
+
+
 def test_bloom_no_false_negatives_and_fpr(spark):
     from sprintz_spark.operators.sketch import bloom_bits, bloom_contains
 
