@@ -59,9 +59,14 @@ def ivf_index(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 11,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Assign each vector to a signed-random-projection bucket (IVF cell)."""
-    dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    """Assign each vector to a signed-random-projection bucket (IVF cell).
+
+    ``dim`` skips the one-row probe job when the caller already knows the
+    embedding width (the probe is cheap but is a whole Spark job)."""
+    if dim is None:
+        dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
 
@@ -88,6 +93,7 @@ def ivf_topk(
     n_planes: int = 8,
     seed: int = 11,
     hamming_probe: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: scan only cells within ``hamming_probe`` bit
     flips of the query's cell (probes = sum_{i<=h} C(n_planes, i)).
@@ -98,7 +104,8 @@ def ivf_topk(
     (query, cell) probe rows. No driver-side collect — the query side can
     itself be corpus-scale; only the probe rows that join are broadcast
     (still small: queries x sum_{i<=h} C(n_planes, i))."""
-    dim = len(queries.select(q_vec_col).first()[0])
+    if dim is None:
+        dim = len(queries.select(q_vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
     from itertools import combinations
@@ -112,19 +119,48 @@ def ivf_topk(
         )
     mask_arr = np.asarray(masks, dtype=np.int32)
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (m @ planes.T) > 0
-        base = (bits.astype(np.int32) << np.arange(n_planes, dtype=np.int32)).sum(
-            axis=1, dtype=np.int32
+    if n_planes * dim <= 2048:
+        # JVM path: n_planes dot products against literal plane arrays,
+        # whole-stage-codegen'd — skips an entire Python-worker stage for
+        # the (typically tiny relative to the corpus) query side. Note
+        # the accumulation order differs from numpy's matmul (sequential
+        # left-fold vs SIMD pairwise), so a dot product within an ulp of
+        # zero could assign a different base cell than the corpus-side
+        # pandas_udf would; both paths are individually deterministic,
+        # and probing is approximate by contract, so this only perturbs
+        # WHICH near-orthogonal cells are probed, never determinism.
+        # one F.expr per column: a single py4j round-trip + one SQL parse,
+        # instead of hundreds of Column-API calls for the plane literals
+        vec_d = f"transform({q_vec_col}, x -> cast(x as double))"
+        bits = []
+        for i in range(n_planes):
+            arr = "array(" + ",".join(f"{float(v)!r}d" for v in planes[i]) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_d}, {arr}, (a, b) -> a * b), "
+                "cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+            bits.append(f"if({dot} > 0, {1 << i}, 0)")
+        base = "cast((" + " + ".join(bits) + ") as int)"
+        cells = "array(" + ",".join(f"(_cell0 ^ {int(m)})" for m in mask_arr) + ")"
+        probe = (
+            queries.withColumn("_cell0", F.expr(base))
+            .select(q_id_col, q_vec_col, F.explode(F.expr(cells)).alias("cell"))
         )
-        cells = base[:, None] ^ mask_arr[None, :]
-        return pd.Series([row.tolist() for row in cells])
+    else:
 
-    probe = queries.select(
-        q_id_col, q_vec_col, F.explode(probe_cells(F.col(q_vec_col))).alias("cell")
-    )
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def probe_cells(vecs: pd.Series) -> pd.Series:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            bits = (m @ planes.T) > 0
+            base = (bits.astype(np.int32) << np.arange(n_planes, dtype=np.int32)).sum(
+                axis=1, dtype=np.int32
+            )
+            cells = base[:, None] ^ mask_arr[None, :]
+            return pd.Series([row.tolist() for row in cells])
+
+        probe = queries.select(
+            q_id_col, q_vec_col, F.explode(probe_cells(F.col(q_vec_col))).alias("cell")
+        )
     joined = indexed.join(F.broadcast(probe), "cell")
     sim = _cosine(F.col(vec_col), F.col(q_vec_col))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))

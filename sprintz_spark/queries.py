@@ -1776,25 +1776,28 @@ def q_ivf_topk(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
     queries_df = (
         emb.where(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
     approx = ivf_topk(
-        ivf_index(emb, n_planes=5), queries_df, k=10, n_planes=5, hamming_probe=2
-    ).select("q_id", "vec_id")
+        ivf_index(emb, n_planes=5, dim=dim),
+        queries_df,
+        k=10,
+        n_planes=5,
+        hamming_probe=2,
+        dim=dim,
+    ).select("q_id", "vec_id", F.lit(1).alias("hit"))
     exact = knn_bruteforce(emb, queries_df, k=10).select("q_id", "vec_id")
-    hits = approx.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
+    # single pass: LEFT-join the 10-exact rows to the approx hits, then one
+    # aggregation — the brute-force subtree is evaluated exactly once
     return (
-        exact.groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(hits, "q_id", "left")
-        .select(
-            "q_id",
-            "n_exact",
-            (F.coalesce(F.col("n_hit"), F.lit(0)) >= 4).alias("recall_ge_40"),
+        exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) >= 4).alias("recall_ge_40"),
         )
     )
 
