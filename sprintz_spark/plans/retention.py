@@ -42,6 +42,40 @@ from sprintz_spark.operators.encode import (
 MEASURES = ["crawl_count", "byte_size_sum", "byte_size_max", "byte_size_min"]
 
 
+def _recover_swap(path: str, staged_suffix: str, old_suffix: str) -> str | None:
+    """Heal a staged+rename swap interrupted by a crash, making every
+    expiry/GC entry point idempotent across the documented crash windows.
+
+    Swap protocol: write <path><staged_suffix> fully, rename <path> ->
+    <path><old_suffix>, rename staged -> <path>, rmtree old. Windows:
+      a) crash before rename 1: canonical intact + complete staged dir
+         -> drop the stale staged dir (the rerun recreates it);
+      b) crash between renames: canonical ABSENT, staged (new state,
+         fully written) + old (previous state) both present -> promote
+         the staged dir (it is the completed new state), drop old;
+      c) crash after rename 2, before the cleanup rmtree: canonical
+         intact + old sibling -> drop old.
+    Data is never destroyed before a complete replacement is in place.
+    Object-store deployments swap a metadata pointer instead (same
+    guard as lineage.json). Returns the action taken, for audit."""
+    import shutil
+
+    staged, old = path + staged_suffix, path + old_suffix
+    action = None
+    if not os.path.exists(path):
+        if os.path.exists(staged):
+            os.rename(staged, path)
+            action = "promoted_staged"
+        elif os.path.exists(old):
+            os.rename(old, path)
+            action = "restored_old"
+    for p in (staged, old):
+        if os.path.exists(p) and os.path.exists(path):
+            shutil.rmtree(p)
+            action = action or "dropped_stale"
+    return action
+
+
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest")
 
@@ -394,16 +428,23 @@ def expire_tier(
     parquet rewrite of the surviving chunks, never a codec pass.
 
     The rewrite is staged to a sibling directory and swapped in with two
-    renames. NOT fully atomic: a crash between the renames leaves the
-    canonical dir absent with both `.expiring` (new) and `.expired`
-    (old) siblings present — recovery is renaming either back; data is
-    never destroyed before the new dir is in place. Object-store
-    deployments would swap a metadata pointer instead (same guard as
-    lineage.json). An audit row lands in <out_dir>/expiry_log, and the
+    renames. NOT atomic, but SELF-HEALING: every entry first runs
+    _recover_swap, which promotes a completed `.expiring` dir (or
+    restores `.expired`) if a prior run crashed mid-swap, and a promoted
+    store forces the manifest reconciliation below even when no further
+    chunks expire — so rerunning after a crash at ANY point converges to
+    the clean-run state (fault-injection tested in test_retention).
+    Data is never destroyed before the new dir is in place.
+    Object-store deployments would swap a metadata pointer instead
+    (same guard as lineage.json). An audit row lands in
+    <out_dir>/expiry_log, and the
     tier's manifest rows are recomputed from the surviving chunks so
     tier_ratio_report never counts expired bytes.
     """
     enc_path = os.path.join(out_dir, f"snap={snapshot_id}", f"encoded_tier={tier}")
+    # heal any interrupted prior swap before reading (crash-idempotence)
+    recovery = _recover_swap(enc_path, ".expiring", ".expired")
+    _recover_swap(_manifest_path(out_dir), ".rewriting", ".old")
     enc = spark.read.parquet(enc_path)
     total = enc.count()
     keep = enc.where(F.col("end_bucket") >= F.lit(older_than))
@@ -421,20 +462,41 @@ def expire_tier(
         "raw_bytes_dropped": int(dropped_rows["b"] or 0),
         "dry_run": dry_run,
     }
-    if dry_run or total == kept:
+    # A prior run may have crashed after swapping the encoded dir but
+    # before (or during) the manifest rewrite: the store already holds
+    # the post-expiry chunks while the manifest still counts the expired
+    # ones. Detect by comparing the manifest's chunk count for this
+    # (tier, snapshot) against the store — disagreement (or a recovery
+    # that promoted a staged dir) forces the reconciliation below even
+    # when nothing further drops.
+    man0 = read_manifest(spark, out_dir)
+    man_stale = False
+    if man0 is not None:
+        man_chunks = (
+            man0.where(
+                (F.col("tier") == tier) & (F.col("snapshot_id") == snapshot_id)
+            )
+            .agg(F.sum("n_chunks"))
+            .first()[0]
+        )
+        man_stale = man_chunks is not None and int(man_chunks) != total
+    if dry_run or (
+        total == kept and recovery != "promoted_staged" and not man_stale
+    ):
         return report
-    staged = enc_path + ".expiring"
-    keep.write.mode("overwrite").parquet(staged)
     import shutil
 
-    old = enc_path + ".expired"
-    os.rename(enc_path, old)
-    os.rename(staged, enc_path)
-    shutil.rmtree(old)
+    if total != kept:
+        staged = enc_path + ".expiring"
+        keep.write.mode("overwrite").parquet(staged)
+        old = enc_path + ".expired"
+        os.rename(enc_path, old)
+        os.rename(staged, enc_path)
+        shutil.rmtree(old)
     # recompute this (tier, snapshot)'s manifest rows from the surviving
     # chunks — otherwise tier_ratio_report and any manifest-vs-store
     # reconciliation keep counting the expired chunks' bytes and rows
-    man = read_manifest(spark, out_dir)
+    man = man0
     if man is not None:
         enc_done = spark.read.parquet(enc_path)
         fresh = (
@@ -495,6 +557,7 @@ def expire_snapshots(
     snapshot's lineage.json still records which sources it merged."""
     import shutil
 
+    _recover_swap(_manifest_path(out_dir), ".rewriting", ".old")
     keep = set(keep_ids)
     doomed = [
         name.split("=", 1)[1]

@@ -205,3 +205,123 @@ def test_expire_snapshots_gc_after_compaction(spark, pages_small, tmp_path):
     man = RT.read_manifest(spark, out)
     sids = {r["snapshot_id"] for r in man.select("snapshot_id").distinct().collect()}
     assert sids == {"c1"}
+
+
+# --- fault injection: crash windows of the staged+rename swaps -------------
+
+class _CrashAt:
+    """Make os.rename raise on its Nth call (1-based), simulating a kill
+    at that exact point of the swap protocol."""
+
+    def __init__(self, n):
+        self.n, self.calls, self.real = n, 0, os.rename
+
+    def __call__(self, src, dst):
+        self.calls += 1
+        if self.calls == self.n:
+            raise OSError(f"injected crash at rename #{self.n}: {src} -> {dst}")
+        return self.real(src, dst)
+
+
+def _expired_store(spark, pages_small, tmp_path, name):
+    out = str(tmp_path / name)
+    RT.run_retention(pages_small, out, snapshot_id="s1", n_buckets=2, chunk_rows=8)
+    before = RT.read_tier_decoded(spark, out, "s1", "1h").toPandas()
+    cutoff = sorted(before["bucket"].unique())[len(before["bucket"].unique()) // 2]
+    return out, cutoff
+
+
+def _tier_state(spark, out):
+    enc = spark.read.parquet(f"{out}/snap=s1/encoded_tier=1h").toPandas()
+    man = RT.read_manifest(spark, out).toPandas()
+    return (
+        enc.sort_values(["part", "chunk"]).reset_index(drop=True),
+        man.sort_values(["tier", "snapshot_id", "part"]).reset_index(drop=True),
+    )
+
+
+def test_expire_tier_crash_windows_idempotent(spark, pages_small, tmp_path, monkeypatch):
+    """Kill expire_tier at every rename of its two swaps; a plain rerun
+    must converge to the clean-run state with the store readable at
+    every intermediate point. Rename order: 1-2 = encoded-dir swap,
+    3-4 = manifest swap."""
+    # clean reference run
+    ref_out, cutoff = _expired_store(spark, pages_small, tmp_path, "ref")
+    ref_rep = RT.expire_tier(spark, ref_out, "s1", "1h", cutoff)
+    ref_enc, ref_man = _tier_state(spark, ref_out)
+
+    for n in (1, 2, 3, 4):
+        out, cut = _expired_store(spark, pages_small, tmp_path, f"crash{n}")
+        crash = _CrashAt(n)
+        monkeypatch.setattr(RT.os, "rename", crash)
+        try:
+            RT.expire_tier(spark, out, "s1", "1h", cut)
+            raise AssertionError(f"injected crash #{n} did not fire")
+        except OSError as e:
+            assert "injected crash" in str(e)
+        finally:
+            monkeypatch.setattr(RT.os, "rename", crash.real)
+        # the store must still be fully readable right after the crash
+        # (canonical dir OR a complete recoverable sibling)
+        RT._recover_swap(f"{out}/snap=s1/encoded_tier=1h", ".expiring", ".expired")
+        RT._recover_swap(RT._manifest_path(out), ".rewriting", ".old")
+        assert len(RT.read_tier_decoded(spark, out, "s1", "1h").toPandas()) > 0
+        # rerun heals and converges to the clean-run state
+        rep = RT.expire_tier(spark, out, "s1", "1h", cut)
+        enc, man = _tier_state(spark, out)
+        pd.testing.assert_frame_equal(
+            enc.drop(columns=["encode_secs"]), ref_enc.drop(columns=["encode_secs"])
+        )
+        agg_cols = ["tier", "snapshot_id", "part", "n_chunks", "n_rows", "raw_bytes"]
+        pd.testing.assert_frame_equal(man[agg_cols], ref_man[agg_cols])
+        # no stale swap siblings survive
+        assert not os.path.exists(f"{out}/snap=s1/encoded_tier=1h.expiring")
+        assert not os.path.exists(f"{out}/snap=s1/encoded_tier=1h.expired")
+        assert not os.path.exists(RT._manifest_path(out) + ".rewriting")
+        assert not os.path.exists(RT._manifest_path(out) + ".old")
+        # second rerun is a no-op
+        rep2 = RT.expire_tier(spark, out, "s1", "1h", cut)
+        assert rep2["chunks_dropped"] == 0
+
+
+def test_expire_snapshots_crash_windows_idempotent(spark, pages_small, tmp_path, monkeypatch):
+    """Kill expire_snapshots at each manifest rename; rerun must leave
+    exactly the kept snapshot, a consistent manifest, and no orphans."""
+    for n in (1, 2):
+        out = str(tmp_path / f"gc{n}")
+        split = pages_small.agg(
+            F.date_trunc("day", F.min("warc_ts")) + F.expr("INTERVAL 2 DAYS")
+        ).collect()[0][0]
+        RT.run_retention(
+            pages_small.where(F.col("warc_ts") < F.lit(split)), out, "s1",
+            n_buckets=2, chunk_rows=8,
+        )
+        RT.run_retention(
+            pages_small.where(F.col("warc_ts") >= F.lit(split)), out, "s2",
+            n_buckets=2, chunk_rows=8,
+        )
+        RT.compact_tiers(spark, out, ["s1", "s2"], "c1", n_buckets=2)
+        full = RT.read_tier_decoded(spark, out, "c1", "1h").toPandas()
+
+        crash = _CrashAt(n)
+        monkeypatch.setattr(RT.os, "rename", crash)
+        try:
+            RT.expire_snapshots(spark, out, keep_ids=["c1"])
+            raise AssertionError(f"injected crash #{n} did not fire")
+        except OSError as e:
+            assert "injected crash" in str(e)
+        finally:
+            monkeypatch.setattr(RT.os, "rename", crash.real)
+        # crash happened BEFORE any snap dir delete (manifest-first
+        # ordering): all data dirs still present
+        assert os.path.exists(f"{out}/snap=s1") and os.path.exists(f"{out}/snap=c1")
+        rep = RT.expire_snapshots(spark, out, keep_ids=["c1"])
+        assert sorted(rep["dropped_snapshots"]) == ["s1", "s2"]
+        assert not os.path.exists(f"{out}/snap=s1")
+        still = RT.read_tier_decoded(spark, out, "c1", "1h").toPandas()
+        assert len(still) == len(full)
+        man = RT.read_manifest(spark, out)
+        sids = {r["snapshot_id"] for r in man.select("snapshot_id").distinct().collect()}
+        assert sids == {"c1"}
+        assert not os.path.exists(RT._manifest_path(out) + ".rewriting")
+        assert not os.path.exists(RT._manifest_path(out) + ".old")
