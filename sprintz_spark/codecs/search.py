@@ -99,6 +99,37 @@ PIPELINES: list[tuple[str, tuple]] = [
     ("byteshuffle-huffman", _shuffle_huffman()),
 ]
 
+# Single-core decode throughput per pipeline, MB of DECODED output per
+# second — geometric mean over four tier-corpus-shaped inputs (smooth
+# int64 counters, steppy int64, u16 residuals, high-entropy int64; 1-4 MB
+# each), measured in-sandbox 2026-08-17 (round 5; full table in
+# BASELINE.md "Decode-cost crossover"). Only the ORDERING within a size
+# tolerance band matters, so coarse class values are fine. At 100 TB the
+# decode leg is pure CPU: a pipeline that is 6x slower to decode must
+# buy a materially smaller blob to be worth choosing — Huffman's 30-40
+# MB/s vs the zlib-class 160 MB/s is exactly the case the balanced
+# objective exists for.
+DECODE_MBPS: dict[str, float] = {
+    "sprintz-delta": 140.0,
+    "sprintz-doubledelta": 125.0,
+    "sprintz-dyndelta": 28.0,
+    "sprintz-fire": 3.0,
+    "raw": 117.0,
+    "bzip2": 32.0,
+    "byteshuffle-lzma": 161.0,
+    "gorilla": 122.0,
+    "sprintz-ewma": 53.0,
+    "byteshuffle-zstd": 161.0,  # lzma-fallback figure; true zstd is ~3x
+    "huffman": 40.0,
+    "byteshuffle-huffman": 32.0,
+}
+
+# Default size tolerance of the balanced objective: among pipelines whose
+# probe blob is within (1 + tolerance) of the smallest, pick the fastest
+# decoder. 10%: a slow codec must win >10% on size to justify its decode
+# cost — at 100 TB that trades <=10% storage for up to ~5x decode CPU.
+SIZE_TOLERANCE = 0.10
+
 # ewma's encode is a per-sample scan (IIR with nonlinear truncation — no
 # per-block state boundary, so it cannot batch like FIRE; the reference's
 # own C++ encode is the same sequential scan, online.hpp:251-285). Decode
@@ -133,10 +164,24 @@ def _applicable(name: str, dt: np.dtype, n: int) -> str | None:
 
 
 def search_encode(
-    x: np.ndarray, sample: int = 1 << 16, pipeline: str | None = None
+    x: np.ndarray,
+    sample: int = 1 << 16,
+    pipeline: str | None = None,
+    size_tolerance: float = SIZE_TOLERANCE,
 ) -> bytes:
     """Try every applicable pipeline (on a bounded sample for very long
     columns, then encode fully with the winner); return the container.
+
+    Objective (round-5, decode-cost-aware): among pipelines whose probe
+    blob is within ``(1 + size_tolerance)`` of the smallest, pick the
+    one with the highest DECODE_MBPS (ties -> lowest pipeline id, so the
+    choice is deterministic). ``size_tolerance=0.0`` restores the pure
+    max-ratio objective of the reference CodecSearch (python/
+    codec.py:439-535). The default 10% band means an entropy stage like
+    Huffman (30-40 MB/s/core) is chosen only where its ratio win over a
+    zlib-class pipeline exceeds 10% — the crossover table lives in
+    BASELINE.md.
+
     ``pipeline`` forces a named pipeline instead of probing (used by
     tests/queries that gate one codec end-to-end); the forced name is
     validated against the pipeline table and the same dtype/width gates
@@ -161,16 +206,17 @@ def search_encode(
         head = bytes([MAGIC, VERSION, best_i, _DTYPE_CODE[dt]])
         return head + np.uint32(len(x)).tobytes() + payload
     probe = x[:sample] if len(x) > sample else x
-    best_i, best_size = None, None
+    sizes: dict[int, int] = {}
     for i, (name, (enc, _dec)) in enumerate(PIPELINES):
         if _applicable(name, dt, len(x)) is not None:
             continue
         try:
-            size = len(enc(probe))
+            sizes[i] = len(enc(probe))
         except (TypeError, ValueError):
             continue
-        if best_size is None or size < best_size:
-            best_i, best_size = i, size
+    min_size = min(sizes.values())
+    band = [i for i, s in sizes.items() if s <= min_size * (1.0 + size_tolerance)]
+    best_i = max(band, key=lambda i: (DECODE_MBPS.get(PIPELINES[i][0], 1.0), -i))
     enc, _dec = PIPELINES[best_i][1]
     payload = enc(x)
     head = bytes([MAGIC, VERSION, best_i, _DTYPE_CODE[dt]])

@@ -506,8 +506,8 @@ def q_codec_search_stats(spark, sf_dir):
 # append-only pipeline table order breaks the hash gate loudly.
 _CODEC_SEARCH_STATS_SQL = """
 SELECT * FROM (VALUES
-  ('sprintz-delta',       CAST(29 AS BIGINT), CAST(1204 AS BIGINT), CAST(1666 AS BIGINT)),
-  ('sprintz-doubledelta', CAST(11 AS BIGINT), CAST(401 AS BIGINT),  CAST(568 AS BIGINT))
+  ('sprintz-delta',       CAST(39 AS BIGINT), CAST(1563 AS BIGINT), CAST(2199 AS BIGINT)),
+  ('sprintz-doubledelta', CAST(1 AS BIGINT),  CAST(42 AS BIGINT),   CAST(55 AS BIGINT))
 ) AS t(pipeline, n_chunks, n_points, blob_bytes)
 ORDER BY pipeline
 """

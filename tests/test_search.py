@@ -92,3 +92,25 @@ def test_forced_pipeline_validation():
     # valid forced pipelines still round-trip
     buf = S.search_encode(ints, pipeline="sprintz-doubledelta")
     np.testing.assert_array_equal(S.search_decode(buf).view(np.int64), ints)
+
+
+def test_balanced_objective_prefers_fast_decoder_within_band():
+    """Round-5 decode-cost-aware objective: when a slow pipeline's size
+    win is inside SIZE_TOLERANCE, the faster decoder is chosen;
+    size_tolerance=0 restores the reference's pure max-ratio pick."""
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 300, 1 << 17).astype(np.uint16)
+    # probe sizes on this corpus: bzip2 smallest, byteshuffle-lzma/zstd
+    # within ~6% of it but ~5x faster to decode
+    sizes = {n: len(enc(x)) for n, (enc, _d) in S.PIPELINES
+             if S._applicable(n, x.dtype, len(x)) is None}
+    best = min(sizes, key=sizes.get)
+    fast = S.search_decode(S.search_encode(x))
+    np.testing.assert_array_equal(fast.view(np.uint16), x)
+    chosen_fast = S.PIPELINES[S.search_encode(x)[2]][0]
+    chosen_ratio = S.PIPELINES[S.search_encode(x, size_tolerance=0.0)[2]][0]
+    assert chosen_ratio == best
+    assert sizes[chosen_fast] <= sizes[best] * (1 + S.SIZE_TOLERANCE)
+    assert S.DECODE_MBPS[chosen_fast] >= S.DECODE_MBPS[best]
+    # on this corpus the band genuinely changes the pick
+    assert chosen_fast != chosen_ratio, (chosen_fast, sizes)
