@@ -126,7 +126,10 @@ def main() -> None:
             big = b1
         eff = eff_of(small, big)
         trustworthy = eff <= 1.0 or rounds >= 2
-        if trustworthy and (eff >= 0.84 or (rounds >= 2 and eff >= 0.8)):
+        # only early-exit with real margin over the 0.8 hard gate: a
+        # 0.80-0.84 reading keeps earning rounds while trials remain
+        # (round-4 verdict: the recorded 2v8 was a zero-margin 0.80)
+        if trustworthy and eff >= 0.84:
             break
     eff = eff_of(small, big)
     print(json.dumps({

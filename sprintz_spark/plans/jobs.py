@@ -175,27 +175,37 @@ def fused_rollup_encode(
         t0 = time.perf_counter()
         if not len(pdf):
             return pd.DataFrame(columns=_COLS)
-        pdf = pdf.sort_values(["url", "warc_ts"], kind="mergesort")
-        url_arr = pdf["url"].to_numpy()
+        # group by url via integer codes + lexsort instead of a string
+        # mergesort: ~3x less CPU and far less memory traffic per row in
+        # the bandwidth-critical leg. Grouping order becomes
+        # first-appearance (arbitrary), which is fine — chunk CONTENT is
+        # per-url ts-sorted either way and all bucket aggregates are
+        # order-independent integer ops.
+        url_codes = pd.factorize(pdf["url"].to_numpy(), sort=False)[0]
         ts_us = pdf["warc_ts"].astype("datetime64[us]").to_numpy().view(np.int64)
-        nbytes = pdf["nbytes"].to_numpy()
+        order = np.lexsort((ts_us, url_codes))
+        url_codes = url_codes[order]
+        ts_us = ts_us[order]
+        url_arr = pdf["url"].to_numpy()[order]
+        nbytes = pdf["nbytes"].to_numpy()[order]
         part = int(pdf["part"].iloc[0])
         ones = np.ones(len(pdf), dtype=np.int64)
         frames = []
         for tier in tiers:
             step = TIER_US[tier]
             bucket = ts_us - ts_us % step
-            g_starts = _segment(url_arr, bucket)
+            g_starts = _segment(url_codes, bucket)
             counts = np.add.reduceat(ones, g_starts)
             sums = np.add.reduceat(nbytes, g_starts)
             maxs = np.maximum.reduceat(nbytes, g_starts)
             mins = np.minimum.reduceat(nbytes, g_starts)
             g_url = url_arr[g_starts]
+            g_codes = url_codes[g_starts]
             g_bucket = bucket[g_starts]
             # series (per-url) boundaries over the grouped arrays
             s_change = np.zeros(len(g_starts), dtype=bool)
             s_change[0] = True
-            s_change[1:] = g_url[1:] != g_url[:-1]
+            s_change[1:] = g_codes[1:] != g_codes[:-1]
             s_starts = np.flatnonzero(s_change)
             s_lens = np.diff(np.append(s_starts, len(g_starts)))
             reps = (s_lens + chunk_rows - 1) // chunk_rows
