@@ -36,11 +36,13 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) pair rows -> (id, component) with component = min node
     id reachable through the pair graph. Nodes appearing only as
     singletons must be unioned in by the caller if desired (pairs carry
-    no isolated vertices)."""
+    no isolated vertices). ``stats``, if given, receives {'rounds': int,
+    'edges': int, 'nodes': int} for scale-rehearsal reporting."""
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -54,6 +56,8 @@ def connected_components(
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
+    if stats is not None:
+        stats["edges"] = sym.count() // 2
     labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("mn"))
@@ -61,7 +65,7 @@ def connected_components(
             F.col("a").alias("id"), F.least("mn", F.col("a")).alias("comp")
         )
     )
-    for _ in range(max_iter):
+    for rounds in range(max_iter):
         # propagate: each node adopts the minimum label among itself and
         # its neighbors' labels (label propagation step == one round of
         # star contraction on the label graph)
@@ -87,6 +91,9 @@ def connected_components(
         changed = new_labels.where("_changed").count()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rounds + 1
+                stats["nodes"] = labels.count()
             return labels.withColumnRenamed("comp", "component")
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
