@@ -70,11 +70,26 @@ def run_once(cpus: int) -> dict:
             "rows_per_sec": round(n / wall, 1)}
 
 
+def _pin_cmd(cpus: int) -> list[str]:
+    """Confine the leg's process tree (JVM tasks, GC/JIT threads, Python
+    workers) to exactly ``cpus`` host cores via taskset. Without this the
+    SMALL leg is flattered: a local[2] JVM still spreads GC, JIT, Arrow
+    IPC, and Python workers across all 32 host cores, under-reading the
+    scaling ratio vs a real 2-core executor host. Round-5 change; no-op
+    where taskset is unavailable."""
+    import shutil as _sh
+
+    if _sh.which("taskset"):
+        return ["taskset", "-c", f"0-{cpus - 1}"]
+    return []
+
+
 def run_level(cpus: int, trials: int) -> dict:
     best = None
     for _ in range(trials):
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--level", str(cpus)],
+            _pin_cmd(cpus)
+            + [sys.executable, os.path.abspath(__file__), "--level", str(cpus)],
             capture_output=True, text=True, timeout=3600,
         )
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]

@@ -66,6 +66,17 @@ _SCHEMA = StructType(
 )
 _COLS = [f.name for f in _SCHEMA.fields]
 
+# UDF-side schema when shuffling url ids instead of strings: the url
+# column is an xxhash64 id inside the shuffle/UDF and the strings are
+# joined back onto the ~1000x smaller chunk output afterwards
+_SCHEMA_ID = StructType(
+    [
+        StructField("url_id", LongType()) if f.name == "url" else f
+        for f in _SCHEMA.fields
+    ]
+)
+_COLS_ID = [f.name for f in _SCHEMA_ID.fields]
+
 
 def _encode_measure(vals, piece_starts, piece_lens, codec, deflate=False):
     """Encode one measure column cut into pieces; returns (blobs, metas).
@@ -160,33 +171,54 @@ def fused_rollup_encode(
     codec: str = "auto",
     chunk_rows: int = 1 << 16,
     with_crc: bool = True,
+    shuffle_ids: bool = False,
 ) -> DataFrame:
     """``with_crc`` stores a crc32 of each piece's raw values in the meta
     so verify_encoded can prove decode(encode(x)) == x without the
-    original table."""
+    original table.
+
+    ``shuffle_ids`` (round 5): the big shuffle carries an 8-byte
+    ``xxhash64(url)`` id instead of the url string, and the UDF receives
+    int64 ids (no per-row Python string materialization). Strings are
+    joined back (shuffle-hash, never broadcast of the blob side) onto
+    the chunk-level OUTPUT — one row per url*tier*chunk, ~3 orders of
+    magnitude smaller than the input — from a distinct-url dimension.
+    At 10^12 rows with long urls this trades ~50 TB of string shuffle
+    for a url-column distinct plus a chunk-level join; in-sandbox at
+    48M rows the two plans measure within noise of each other
+    (interleaved A/B: 40.7-42.2 s vs 38.9-43.0 s at local[8]), so the
+    single-shuffle string plan stays the default and the id plan is the
+    opt-in for wide-url/row-heavy corpora. Collision note: two urls
+    sharing an xxhash64 value (P ~ n^2/2^65, ~1e-8 at 10^6 urls) would
+    merge their series; callers needing certainty at 10^10+ urls should
+    verify with the modular retention path."""
     import zlib
 
     if codec not in ("auto", "fire"):
         raise ValueError(f"unknown codec {codec!r}: use 'auto' or 'fire'")
     spark = pages.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism * 2
+    out_cols = _COLS_ID if shuffle_ids else _COLS
 
     def udf(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.perf_counter()
         if not len(pdf):
-            return pd.DataFrame(columns=_COLS)
+            return pd.DataFrame(columns=out_cols)
         # group by url via integer codes + lexsort instead of a string
         # mergesort: ~3x less CPU and far less memory traffic per row in
         # the bandwidth-critical leg. Grouping order becomes
         # first-appearance (arbitrary), which is fine — chunk CONTENT is
         # per-url ts-sorted either way and all bucket aggregates are
         # order-independent integer ops.
-        url_codes = pd.factorize(pdf["url"].to_numpy(), sort=False)[0]
+        if shuffle_ids:
+            url_codes = pdf["url_id"].to_numpy()
+        else:
+            url_codes = pd.factorize(pdf["url"].to_numpy(), sort=False)[0]
         ts_us = pdf["warc_ts"].astype("datetime64[us]").to_numpy().view(np.int64)
         order = np.lexsort((ts_us, url_codes))
         url_codes = url_codes[order]
         ts_us = ts_us[order]
-        url_arr = pdf["url"].to_numpy()[order]
+        url_arr = url_codes if shuffle_ids else pdf["url"].to_numpy()[order]
         nbytes = pdf["nbytes"].to_numpy()[order]
         part = int(pdf["part"].iloc[0])
         ones = np.ones(len(pdf), dtype=np.int64)
@@ -223,7 +255,7 @@ def fused_rollup_encode(
                 {
                     "tier": tier,
                     "part": part,
-                    "url": g_url[p_starts],
+                    ("url_id" if shuffle_ids else "url"): g_url[p_starts],
                     "chunk": p_ord,
                     "start_bucket": g_bucket[p_starts].view("datetime64[us]"),
                     "end_bucket": g_bucket[p_starts + p_lens - 1].view("datetime64[us]"),
@@ -273,8 +305,23 @@ def fused_rollup_encode(
             frames.append(out)
         res = pd.concat(frames, ignore_index=True)
         res["encode_secs"] = (time.perf_counter() - t0) / max(len(res), 1)
-        return res[_COLS]
+        return res[out_cols]
 
+    if shuffle_ids:
+        slim = pages.select(
+            F.xxhash64("url").alias("url_id"),
+            "warc_ts",
+            F.length("html").cast("long").alias("nbytes"),
+            F.pmod(F.xxhash64("url"), F.lit(n_parts)).alias("part"),
+        )
+        enc = slim.groupBy("part").applyInPandas(udf, _SCHEMA_ID)
+        urls = pages.select("url", F.xxhash64("url").alias("url_id")).distinct()
+        # shuffle-hash, not broadcast: Catalyst has no stats for the UDF
+        # output and would otherwise BROADCAST the blob-carrying side
+        # (measured: driver collect of ~2M blob rows). Both join inputs
+        # here are chunk/url-dim scale — orders of magnitude below the
+        # row-scale input — so a hash join on url_id is the 100 TB shape.
+        return enc.join(urls.hint("shuffle_hash"), "url_id").select(*_COLS)
     slim = pages.select(
         "url",
         "warc_ts",

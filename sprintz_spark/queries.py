@@ -190,9 +190,20 @@ def q_topk_heavy_users(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     top10 = counts.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10)
-    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
-    return top10.select(
-        F.row_number().over(w).alias("rnk"), "user_id", "n_events"
+    # rank the 10 survivors WITHOUT a window (even a 10-row unpartitioned
+    # window logs Spark's single-partition WindowExec warning): rnk =
+    # 1 + how many of the other 9 sort strictly before — a broadcast
+    # self-join over a constant-size set
+    a, b = top10.alias("a"), top10.alias("b")
+    before = (F.col("b.n_events") > F.col("a.n_events")) | (
+        (F.col("b.n_events") == F.col("a.n_events"))
+        & (F.col("b.user_id") < F.col("a.user_id"))
+    )
+    return (
+        a.join(F.broadcast(b), before, "left")
+        .groupBy(F.col("a.user_id").alias("user_id"), F.col("a.n_events").alias("n_events"))
+        .agg((F.count(F.col("b.user_id")) + 1).cast("int").alias("rnk"))
+        .select("rnk", "user_id", "n_events")
     )
 
 
