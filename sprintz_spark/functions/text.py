@@ -180,3 +180,33 @@ def simhash64(text: str, shingle: int = 3) -> int:
     )
     acc = (bits * 2 - 1).sum(axis=0)
     return int(np.packbits((acc > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0])
+
+
+def winnow_fingerprint_exprs(k: int = 8, w: int = 4) -> tuple[str, str]:
+    """MOSS-style winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD'03), built entirely from Spark SQL higher-order
+    functions — JVM-side, whole-stage-codegen'd, no Python in the path.
+
+    Returns (hashes_expr, winnow_expr) SQL fragments over a column
+    ``_norm`` (lower-cased, whitespace-collapsed text):
+      * hashes: the 60-bit hash (first 15 md5 hex digits — positive in
+        BIGINT, reproducible in DuckDB as ('0x'||substr(md5(g),1,15))::
+        BIGINT) of each char k-gram;
+      * winnow: the distinct set of per-window minima over every w
+        consecutive k-gram hashes — the winnowed fingerprint set, which
+        guarantees any match of length >= k+w-1 shares a fingerprint.
+
+    Guards: docs with fewer than k+w-1 chars produce an empty set (the
+    caller filters or accepts empties); sequence(1, n) is never built
+    with n < 1 (Spark's sequence counts DOWN for n < start).
+    """
+    hashes = (
+        f"transform(sequence(1, length(_norm) - {k - 1}), i -> "
+        f"cast(conv(substring(md5(substring(_norm, i, {k})), 1, 15), 16, 10)"
+        " as bigint))"
+    )
+    winnow = (
+        f"array_distinct(transform(sequence(1, size(_hashes) - {w - 1}), "
+        f"j -> array_min(slice(_hashes, j, {w}))))"
+    )
+    return hashes, winnow

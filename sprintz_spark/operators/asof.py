@@ -25,11 +25,17 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left rows + the latest right payload at-or-before left_ts per key.
+    """Left rows + the latest right payload at-or-before left_ts per key
+    (``direction='backward'``, the default), or the EARLIEST right payload
+    at-or-after it (``direction='forward'`` — pandas merge_asof
+    direction='forward'; same union+running-frame plan, reversed sort).
 
     Ties (equal timestamps) match, with the right row considered first —
     matching DuckDB's ASOF JOIN ``>=`` semantics."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lt = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
@@ -50,9 +56,10 @@ def asof_join(
     # right rows sort before left rows at equal timestamps so a same-ts
     # right row is visible to the left row
     u = lt.unionByName(rt)
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .orderBy(ts_order, F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
@@ -66,8 +73,13 @@ def asof_join(
         # exact µs integer comparison (works for TIMESTAMP and
         # TIMESTAMP_NTZ inputs alike; float-seconds casts do neither)
         us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+        gap = (
+            us("_ts") - us("_f_ts")
+            if direction == "backward"
+            else us("_f_ts") - us("_ts")
+        )
         keep = F.col("_f_ts").isNotNull() & (
-            us("_ts") - us("_f_ts") <= F.lit(round(tolerance_seconds * 1_000_000))
+            gap <= F.lit(round(tolerance_seconds * 1_000_000))
         )
     sel = [F.col(key), F.col("_ts").alias(left_ts)]
     sel += [F.col(c) for c in left.columns if c not in (key, left_ts)]

@@ -2072,6 +2072,232 @@ def q_lang_quality(spark, sf_dir):
     )
 
 
+
+
+# --- round-5 additions: grouped top-k, stratified sample, winnowing, ------
+# --- forward as-of, histogram, interval coverage --------------------------
+
+def q_top_docs_per_lang(spark, sf_dir):
+    """Grouped top-k (top-3 longest docs per language): the row_number
+    filter compiles to WindowGroupLimit Partial — per-partition partial
+    top-3 per group before the shuffle, the scalable grouped-top-k plan
+    (only k rows per (group, partition) ever move)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("lang", "rnk", "doc_id", "n_chars")
+    )
+
+
+_TOP_DOCS_SQL = """
+SELECT lang, rnk, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+) WHERE rnk <= 3
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: per language, the 5 docs with
+    the smallest salted md5 key — the leakage-free, rerun-stable eval
+    split a training pipeline needs per stratum. Same WindowGroupLimit
+    partial-top-k plan as grouped top-k; the oracle recomputes every
+    hash, so membership is gated, not just counts."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+    return (
+        docs.select("lang", "doc_id", key.alias("sample_key"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "rnk", "doc_id", "sample_key")
+    )
+
+
+_STRAT_SAMPLE_SQL = """
+SELECT lang, rnk, doc_id, sample_key FROM (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS sample_key,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rnk
+  FROM documents
+) WHERE rnk <= 5
+"""
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03)
+    per document: 60-bit md5 hashes of char 8-grams, minima over every
+    4-hash window, dedup'd. Entirely Spark SQL higher-order functions
+    (JVM codegen, no Python); the oracle rebuilds every fingerprint in
+    DuckDB list functions, and the checksum (sum of fp % 1048573 —
+    overflow-safe in both engines) gates the VALUES, not just counts.
+    Guarantees any shared substring of >= 11 chars shares a fingerprint."""
+    from sprintz_spark.functions.text import winnow_fingerprint_exprs
+
+    hashes, winnow = winnow_fingerprint_exprs(k=8, w=4)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(r"regexp_replace(lower(trim(text)), '\\s+', ' ')").alias("_norm"),
+        )
+        .where(F.length("_norm") >= 11)  # k + w - 1
+        .withColumn("_hashes", F.expr(hashes))
+        .withColumn("_fps", F.expr(winnow))
+        .select(
+            "doc_id",
+            F.size("_fps").alias("n_fps"),
+            F.expr("aggregate(_fps, 0L, (a, x) -> a + x % 1048573)").alias(
+                "fp_checksum"
+            ),
+        )
+    )
+
+
+_WINNOW_SQL = r"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(range(1, length(norm) - 8 + 2), i ->
+           ('0x' || substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 15))::BIGINT
+         ) AS hashes
+  FROM n WHERE length(norm) >= 11
+), wnw AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hashes) - 4 + 2), j ->
+           list_min(hashes[CAST(j AS INT):CAST(j + 3 AS INT)])
+         )) AS fps
+  FROM h
+)
+SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
+       CAST(list_sum(list_transform(fps, x -> x % 1048573)) AS BIGINT) AS fp_checksum
+FROM wnw
+"""
+
+
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join: for each purchase, the user's EARLIEST click
+    cents at or after the purchase time (pandas merge_asof
+    direction='forward'; DuckDB ASOF with <=). Same union + running
+    frame plan as the backward join, reversed sort."""
+    from sprintz_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(_cents()).alias("click_cents"))
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["click_cents"], direction="forward",
+    )
+    return out.select("user_id", "ts", "event_id", "click_cents")
+
+
+_ASOF_FWD_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, ts, max({_CENTS_SQL}) AS click_cents
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.ts, p.event_id, c.click_cents
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-domain equi-width histogram of event cents (50 buckets over
+    [0, 100000)): the mergeable quantile/distribution sketch at scale —
+    one algebraic aggregation, constant state per partition, exact
+    cross-engine equality via width_bucket in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    # explicit floor arithmetic (identical on both engines) instead of
+    # width_bucket: bucket i covers [2000*(i-1), 2000*i) cents
+    b = F.floor(_cents() / F.lit(2000)) + F.lit(1)
+    return (
+        ev.select(b.cast("long").alias("bucket"), _cents().alias("cents"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents_sum"))
+        .orderBy("bucket")
+    )
+
+
+_HISTOGRAM_SQL = f"""
+SELECT CAST(({_CENTS_SQL}) // 2000 + 1 AS BIGINT) AS bucket,
+       count(*) AS n, CAST(sum({_CENTS_SQL}) AS BIGINT) AS cents_sum
+FROM events GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_interval_coverage(spark, sf_dir):
+    """Interval-union length per user: each event opens a 2-hour window
+    [ts, ts+2h); overlaps must not double-count. Classic sweep: sort per
+    user, running max of prior interval ends, each row contributes
+    max(0, end - max(start, prior_max_end)) — one partitioned window,
+    no self-join, exact BIGINT microsecond arithmetic in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    rows = ev.select(
+        "user_id",
+        s.alias("s"),
+        (s + F.lit(7200 * 1000000).cast("long")).alias("e"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("e") - F.greatest(F.col("s"), F.coalesce(F.max("e").over(w), F.col("s"))),
+    )
+    return (
+        rows.select("user_id", contrib.alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("covered_us"))
+    )
+
+
+_INTERVAL_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 7200::BIGINT * 1000000 AS e, event_id
+  FROM events
+), sweep AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+)
+SELECT user_id,
+       CAST(sum(greatest(0, e - greatest(s, COALESCE(pmax, s)))) AS BIGINT) AS covered_us
+FROM sweep GROUP BY user_id
+"""
+
+
 def queries() -> dict:
     return {
         "rollup_1m": q_rollup_1m,
@@ -2089,6 +2315,12 @@ def queries() -> dict:
         "image_resize": q_image_resize,
         "audio_stats": q_audio_stats,
         "codec_search_stats": q_codec_search_stats,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "stratified_sample": q_stratified_sample,
+        "asof_forward": q_asof_forward,
+        "value_histogram": q_value_histogram,
+        "interval_coverage": q_interval_coverage,
         "sprintz_roundtrip": q_sprintz_roundtrip,
         "container_roundtrip": q_container_roundtrip,
         "huffman_roundtrip": q_huffman_roundtrip,
@@ -2193,4 +2425,10 @@ def oracles() -> dict:
         "hash_split": _HASH_SPLIT_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,
         "codec_search_stats": _CODEC_SEARCH_STATS_SQL,
+        "winnow_fingerprints": _WINNOW_SQL,
+        "top_docs_per_lang": _TOP_DOCS_SQL,
+        "stratified_sample": _STRAT_SAMPLE_SQL,
+        "asof_forward": _ASOF_FWD_SQL,
+        "value_histogram": _HISTOGRAM_SQL,
+        "interval_coverage": _INTERVAL_COVERAGE_SQL,
     }

@@ -166,3 +166,25 @@ def test_knn_partial_topk_via_window_group_limit(spark):
     # of its rank filters must keep the rewrite too
     plan2 = _plan(Q.queries()["ivf_topk"](spark, SF))
     assert plan2.count("WindowGroupLimit") >= 2 and "Partial" in plan2
+
+
+def test_grouped_topk_and_stratified_sample_use_window_group_limit(spark):
+    """Round-5 additions: both grouped top-k shapes must keep Spark's
+    InferWindowGroupLimit rewrite (partial per-partition top-k below the
+    shuffle) — without it every (group, row) pair crosses the exchange."""
+    from sprintz_spark import queries as Q
+
+    for name in ("top_docs_per_lang", "stratified_sample"):
+        plan = _plan(Q.queries()[name](spark, SF))
+        assert "WindowGroupLimit" in plan and "Partial" in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_winnow_fingerprints_is_jvm_only(spark):
+    """The winnowing pipeline is pure Spark SQL higher-order functions —
+    no Python evaluation node may appear in the plan."""
+    from sprintz_spark import queries as Q
+
+    plan = _plan(Q.queries()["winnow_fingerprints"](spark, SF))
+    assert "Python" not in plan and "FlatMap" not in plan
+    assert "Exchange" not in plan  # narrow, per-row transform only

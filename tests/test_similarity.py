@@ -41,3 +41,37 @@ def test_probe_distance_monotone_and_exhaustive(emb, spark):
         (r["q_id"], r["vec_id"]) for r in knn_bruteforce(emb, q, k=10**6).collect()
     }
     assert c4 == exact  # h == n_planes probes all 2^n_planes cells
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing's defining property (Schleimer et al. §2): any shared
+    substring of length >= k + w - 1 = 11 chars produces at least one
+    shared fingerprint; disjoint random texts share none."""
+    from pyspark.sql import functions as F
+
+    from sprintz_spark.functions.text import winnow_fingerprint_exprs
+
+    hashes, winnow = winnow_fingerprint_exprs(k=8, w=4)
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "zz unrelated prefix THE QUICK BROWN FOX JUMPS ok suffix"),
+            (3, "完全不同的文本内容没有任何重叠可言零相似度九十一二三"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in docs.select(
+            "doc_id",
+            F.expr(r"regexp_replace(lower(trim(text)), '\\s+', ' ')").alias("_norm"),
+        )
+        .where(F.length("_norm") >= 11)
+        .withColumn("_hashes", F.expr(hashes))
+        .select("doc_id", F.expr(winnow).alias("fps"))
+        .collect()
+    }
+    # docs 1 and 2 share "the quick brown fox jumps" (25 chars, lowercased)
+    assert fps[1] & fps[2]
+    # the zh doc shares nothing with either
+    assert not (fps[3] & fps[1]) and not (fps[3] & fps[2])
