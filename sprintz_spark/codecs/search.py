@@ -119,10 +119,16 @@ DECODE_MBPS: dict[str, float] = {
     "byteshuffle-lzma": 161.0,
     "gorilla": 122.0,
     "sprintz-ewma": 53.0,
-    "byteshuffle-zstd": 161.0,  # lzma-fallback figure; true zstd is ~3x
+    # lzma-fallback figure; overridden below when real zstd is importable
+    # (otherwise the lowest-id tie-break would systematically pick the
+    # ~3x-slower lzma pipeline whenever both land in the size band)
+    "byteshuffle-zstd": 161.0,
     "huffman": 40.0,
     "byteshuffle-huffman": 32.0,
 }
+if getattr(extras, "_zstandard", None) is not None:
+    # true zstd decodes ~3x faster than the lzma fallback
+    DECODE_MBPS["byteshuffle-zstd"] = 480.0
 
 # Default size tolerance of the balanced objective: among pipelines whose
 # probe blob is within (1 + tolerance) of the smallest, pick the fastest
@@ -230,16 +236,33 @@ def search_decode(buf: bytes) -> np.ndarray:
         n = int(np.frombuffer(buf[4:8], dtype=np.uint32)[0])
         _name, (_enc, dec) = PIPELINES[pipeline_i]
         return dec(buf[8:], dt, n)
-    if buf[0] < len(PIPELINES):
+    if len(buf) >= 6 and buf[0] < len(PIPELINES) and buf[1] < len(_DTYPES):
         # back-compat: pre-versioned (round-3) container — bare pipeline
         # id first, 6-byte header [id | dtype | u32 n]. The id byte is
         # always <= 0x0B so it can never alias the 0xA5 magic; retention
-        # stores written before the v1 header stay readable.
+        # stores written before the v1 header stay readable. A CORRUPTED
+        # v1 blob whose first byte mutated into the legacy range is
+        # indistinguishable from a legacy blob by headers alone; the
+        # except below converts the inner codec's failure into the same
+        # loud refusal instead of a deep assertion.
         pipeline_i = buf[0]
         dt = np.dtype(_DTYPES[buf[1]])
         n = int(np.frombuffer(buf[2:6], dtype=np.uint32)[0])
         _name, (_enc, dec) = PIPELINES[pipeline_i]
-        return dec(buf[6:], dt, n)
+        try:
+            out = dec(buf[6:], dt, n)
+        except Exception as e:
+            raise ValueError(
+                "buffer is neither a valid v1 search container nor a "
+                f"decodable legacy (round-3) blob — likely corrupted ({e}); "
+                "refusing to guess a pipeline id [bad magic/version]"
+            ) from e
+        if len(out) != n:
+            raise ValueError(
+                "legacy-blob decode length mismatch — likely a corrupted "
+                "v1 container [bad magic/version]"
+            )
+        return out
     raise ValueError(
         "not a search container (bad magic/version bytes "
         f"{buf[0]:#04x} {buf[1]:#04x}); refusing to guess a pipeline id"

@@ -196,17 +196,21 @@ def winnow_fingerprint_exprs(k: int = 8, w: int = 4) -> tuple[str, str]:
         consecutive k-gram hashes — the winnowed fingerprint set, which
         guarantees any match of length >= k+w-1 shares a fingerprint.
 
-    Guards: docs with fewer than k+w-1 chars produce an empty set (the
-    caller filters or accepts empties); sequence(1, n) is never built
-    with n < 1 (Spark's sequence counts DOWN for n < start).
+    Guards (built INTO the expressions, so the contract holds for any
+    caller): docs with fewer than k+w-1 chars produce an empty set —
+    without the guard, Spark's sequence(1, n) counts DOWN for n < 1 and
+    slice(_, 0, w) throws, and sub-k docs would hash truncated grams.
     """
+    min_len = k + w - 1
     hashes = (
+        f"if(length(_norm) < {min_len}, array(), "
         f"transform(sequence(1, length(_norm) - {k - 1}), i -> "
         f"cast(conv(substring(md5(substring(_norm, i, {k})), 1, 15), 16, 10)"
-        " as bigint))"
+        " as bigint)))"
     )
     winnow = (
+        f"if(size(_hashes) < {w}, array(), "
         f"array_distinct(transform(sequence(1, size(_hashes) - {w - 1}), "
-        f"j -> array_min(slice(_hashes, j, {w}))))"
+        f"j -> array_min(slice(_hashes, j, {w})))))"
     )
     return hashes, winnow

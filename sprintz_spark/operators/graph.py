@@ -57,7 +57,14 @@ def connected_components(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
     if stats is not None:
-        stats["edges"] = sym.count() // 2
+        # undirected edge count: canonicalize before counting (sym holds
+        # each undirected edge 4x when the caller supplied BOTH
+        # orientations of a pair, so sym.count()//2 would double-count)
+        stats["edges"] = (
+            sym.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+            .count()
+        )
     labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("mn"))

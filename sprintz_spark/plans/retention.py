@@ -442,9 +442,22 @@ def expire_tier(
     tier_ratio_report never counts expired bytes.
     """
     enc_path = os.path.join(out_dir, f"snap={snapshot_id}", f"encoded_tier={tier}")
-    # heal any interrupted prior swap before reading (crash-idempotence)
-    recovery = _recover_swap(enc_path, ".expiring", ".expired")
-    _recover_swap(_manifest_path(out_dir), ".rewriting", ".old")
+    # heal any interrupted prior swap before reading (crash-idempotence).
+    # NEVER from a dry run — a preview must not rename or delete anything;
+    # if the store needs healing, tell the operator instead of mutating.
+    if dry_run:
+        recovery = None
+        if not os.path.exists(enc_path) and (
+            os.path.exists(enc_path + ".expiring")
+            or os.path.exists(enc_path + ".expired")
+        ):
+            raise ValueError(
+                f"{enc_path} has an interrupted expiry swap; run expire_tier "
+                "without dry_run to heal it before previewing"
+            )
+    else:
+        recovery = _recover_swap(enc_path, ".expiring", ".expired")
+        _recover_swap(_manifest_path(out_dir), ".rewriting", ".old")
     enc = spark.read.parquet(enc_path)
     total = enc.count()
     keep = enc.where(F.col("end_bucket") >= F.lit(older_than))

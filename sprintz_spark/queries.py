@@ -189,7 +189,11 @@ def q_topk_heavy_users(spark, sf_dir):
     constant-size input regardless of data scale."""
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    top10 = counts.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10)
+    # cache the 10 survivors: they feed BOTH sides of the rank self-join
+    # below, and without the cache Spark would instantiate the full
+    # aggregation + top-k subtree twice (ReuseExchange dedups only the
+    # shuffle write, not the final agg over all distinct users)
+    top10 = counts.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10).cache()
     # rank the 10 survivors WITHOUT a window (even a 10-row unpartitioned
     # window logs Spark's single-partition WindowExec warning): rnk =
     # 1 + how many of the other 9 sort strictly before — a broadcast

@@ -325,3 +325,30 @@ def test_expire_snapshots_crash_windows_idempotent(spark, pages_small, tmp_path,
         assert sids == {"c1"}
         assert not os.path.exists(RT._manifest_path(out) + ".rewriting")
         assert not os.path.exists(RT._manifest_path(out) + ".old")
+
+
+def test_expire_tier_dry_run_never_mutates_interrupted_store(spark, pages_small, tmp_path, monkeypatch):
+    """A dry run must not heal (rename/delete) an interrupted swap — it
+    raises and tells the operator to run a real pass instead."""
+    out, cut = _expired_store(spark, pages_small, tmp_path, "dryrun")
+    crash = _CrashAt(2)  # between the encoded-dir renames
+    monkeypatch.setattr(RT.os, "rename", crash)
+    try:
+        RT.expire_tier(spark, out, "s1", "1h", cut)
+    except OSError:
+        pass
+    finally:
+        monkeypatch.setattr(RT.os, "rename", crash.real)
+    enc = f"{out}/snap=s1/encoded_tier=1h"
+    state_before = {p: os.path.exists(enc + p) for p in ("", ".expiring", ".expired")}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="interrupted expiry swap"):
+        RT.expire_tier(spark, out, "s1", "1h", cut, dry_run=True)
+    # nothing moved or was deleted
+    assert state_before == {
+        p: os.path.exists(enc + p) for p in ("", ".expiring", ".expired")
+    }
+    # a real run still heals
+    RT.expire_tier(spark, out, "s1", "1h", cut)
+    assert os.path.exists(enc) and not os.path.exists(enc + ".expiring")
