@@ -2302,6 +2302,39 @@ FROM sweep GROUP BY user_id
 """
 
 
+
+
+def q_gap_report(spark, sf_dir):
+    """Batch analog of streaming/rollup_stream.stream_gap_alerts: every
+    inter-event gap over 1 hour per user (lag window, exact BIGINT
+    micros). The streaming operator's cross-batch state is pytest-gated;
+    this query oracle-gates the gap arithmetic itself."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = ev.select(
+        "user_id", us.alias("t"), F.lag(us).over(w).alias("prev")
+    ).where(F.col("prev").isNotNull() & (F.col("t") - F.col("prev") > 3600 * 1000000))
+    return rows.select(
+        "user_id",
+        F.timestamp_micros(F.col("prev")).alias("gap_start"),
+        F.timestamp_micros(F.col("t")).alias("gap_end"),
+        (F.col("t") - F.col("prev")).alias("gap_us"),
+    )
+
+
+_GAP_REPORT_SQL = """
+WITH l AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, make_timestamp(prev) AS gap_start, make_timestamp(t) AS gap_end,
+       t - prev AS gap_us
+FROM l WHERE prev IS NOT NULL AND t - prev > 3600::BIGINT * 1000000
+"""
+
+
 def queries() -> dict:
     return {
         "rollup_1m": q_rollup_1m,
@@ -2325,6 +2358,7 @@ def queries() -> dict:
         "asof_forward": q_asof_forward,
         "value_histogram": q_value_histogram,
         "interval_coverage": q_interval_coverage,
+        "gap_report": q_gap_report,
         "sprintz_roundtrip": q_sprintz_roundtrip,
         "container_roundtrip": q_container_roundtrip,
         "huffman_roundtrip": q_huffman_roundtrip,
@@ -2435,4 +2469,5 @@ def oracles() -> dict:
         "asof_forward": _ASOF_FWD_SQL,
         "value_histogram": _HISTOGRAM_SQL,
         "interval_coverage": _INTERVAL_COVERAGE_SQL,
+        "gap_report": _GAP_REPORT_SQL,
     }

@@ -283,3 +283,79 @@ def stream_m4(
             "n",
         )
     )
+
+
+def stream_gap_alerts(
+    points_stream: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "bucket",
+    max_gap_seconds: int = 3600,
+):
+    """Heartbeat/gap monitor (custom stateful streaming operator): emit
+    an alert row whenever the event-time gap between consecutive events
+    of a key exceeds ``max_gap_seconds`` — the crawl-stopped /
+    sensor-died detector a retention pipeline runs next to its rollups.
+
+    State per key = the last seen event-time (8 bytes, strictly bounded;
+    compare the unbounded buffers a naive windowed self-join would
+    keep). Within each micro-batch arrivals are sorted; rows older than
+    the stored last_ts (late beyond reorder) are ignored for gap
+    purposes, mirroring the watermark conventions of the other stateful
+    ops here. Detection is event-time retroactive: the alert for a gap
+    fires when the NEXT event arrives (a still-silent key has no closing
+    timestamp; production would add a ProcessingTimeTimeout probe, which
+    is deliberately left out of the deterministic test surface).
+
+    Output rows: (key, gap_start, gap_end, gap_us).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("gap_start", TimestampType()),
+            StructField("gap_end", TimestampType()),
+            StructField("gap_us", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_ts", LongType())])
+    max_gap_us = int(max_gap_seconds) * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        last = state.get[0] if state.exists else None
+        ts_all = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                ts_all.append(
+                    pdf[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
+                )
+        if not ts_all:
+            yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return
+        ts = np.sort(np.concatenate(ts_all))
+        if last is not None:
+            ts = np.concatenate([[last], ts[ts > last]])
+        deltas = np.diff(ts)
+        hit = np.flatnonzero(deltas > max_gap_us)
+        state.update((int(ts[-1]),))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                "gap_start": ts[hit].view("datetime64[us]"),
+                "gap_end": ts[hit + 1].view("datetime64[us]"),
+                "gap_us": deltas[hit],
+            }
+        )
+
+    return points_stream.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )

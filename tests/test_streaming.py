@@ -328,3 +328,54 @@ def test_stream_m4_matches_batch(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_stream_gap_alerts(spark, tmp_path):
+    """Gap monitor: alerts fire exactly for inter-event gaps over the
+    bound, including a gap that SPANS micro-batches (proving the 8-byte
+    last_ts state carries across batches)."""
+    import datetime as dt
+
+    from sprintz_spark.streaming.rollup_stream import stream_gap_alerts
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    src = str(tmp_path / "gap_src")
+    batches = [
+        # u1: events at 0, 1, 2 min (no gap); u2: 0 min only
+        [("u1", t0), ("u1", t0 + m), ("u1", t0 + 2 * m), ("u2", t0)],
+        # u1 resumes at 62 min -> 60-min gap from 2 min (cross-batch);
+        # u2 at 5 min -> 5-min gap, under the bound
+        [("u1", t0 + 62 * m), ("u2", t0 + 5 * m)],
+        # u1 at 63 min (no gap); u2 at 200 min -> 195-min gap
+        [("u1", t0 + 63 * m), ("u2", t0 + 200 * m)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "url string, bucket timestamp") \
+            .coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = str(tmp_path / "gap_out")
+    q = (
+        stream_gap_alerts(stream, max_gap_seconds=30 * 60)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk_gap"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas().sort_values(["url", "gap_start"])
+    alerts = [
+        (r["url"], int(r["gap_us"] // 60_000_000))
+        for _, r in got.iterrows()
+    ]
+    assert alerts == [("u1", 60), ("u2", 195)]
+    # gap endpoints are the exact neighboring event times
+    u1 = got[got["url"] == "u1"].iloc[0]
+    assert u1["gap_start"] == t0 + 2 * m and u1["gap_end"] == t0 + 62 * m
