@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 import sys
 
+import json
+
 import duckdb
 import pandas as pd
 
@@ -54,6 +56,7 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     n_bad = 0
+    results = {}
     for name in sorted(queries):
         if only and name not in only:
             continue
@@ -67,6 +70,10 @@ def main() -> int:
         dtypes_want = {c: str(want[c].dtype) for c in want.columns}
         h = rows and schema and value_hash(got) == value_hash(want)
         status = "OK " if (rows and schema and h) else "FAIL"
+        results[name] = {
+            "rows_match": rows, "schema_match": schema, "hash_match": h,
+            "spark_rows": len(got), "oracle_rows": len(want),
+        }
         if not (rows and schema and h):
             n_bad += 1
         print(f"{status} {name}: rows={rows} schema={schema} hash={h}")
@@ -78,6 +85,11 @@ def main() -> int:
                     diff = (got[c] != want[c])
                     print(f"     values differ in {c}: {int(diff.sum())} rows, e.g. "
                           f"{got[c][diff].head(3).tolist()} vs {want[c][diff].head(3).tolist()}")
+    out_json = os.environ.get("PARITY_JSON")
+    if out_json and not only:
+        with open(out_json, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "n_queries": len(results),
+                       "n_failing": n_bad, "results": results}, f, indent=1)
     print(f"\n{'ALL GREEN' if n_bad == 0 else f'{n_bad} FAILING'}")
     return 1 if n_bad else 0
 
