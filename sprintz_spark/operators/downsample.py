@@ -114,3 +114,78 @@ def rolling_zscore_flags(
             F.sum("_flag").alias("n_flagged"),
         )
     )
+
+
+def lttb_downsample(
+    series: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    n_out: int = 50,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
+    public MSc thesis / flot-downsample): per series keep ``n_out``
+    points — endpoints always, and from each of the n_out-2 interior
+    equal-count buckets the point forming the largest triangle with the
+    previously SELECTED point and the next bucket's centroid. The
+    shape-preserving line-chart downsampler (vs M4's pixel-exact one).
+
+    The selection is inherently sequential per series (each choice feeds
+    the next triangle), so the per-series scan runs in an applyInPandas
+    stage — one shuffle on the series key, numpy inside, the same
+    many-series-per-partition batching shape as the encoders. Output:
+    key cols + (x, y) of selected points, exact input values.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    keys = list(key_cols)
+    in_fields = [series.schema[k] for k in keys]
+    schema = StructType(
+        in_fields + [StructField("x", LongType()), StructField("y", LongType())]
+    )
+
+    def pick(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+        n = len(x)
+        if n <= n_out:
+            return np.arange(n)
+        # interior bucket boundaries: n_out-2 equal-count slices of [1, n-1)
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        sel = np.empty(n_out, dtype=np.int64)
+        sel[0] = 0
+        a = 0  # previously selected index
+        xf = x.astype(np.float64)
+        yf = y.astype(np.float64)
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
+            cx, cy = xf[nlo:nhi].mean(), yf[nlo:nhi].mean()
+            # 2x triangle area for every candidate in this bucket
+            area = np.abs(
+                (xf[a] - cx) * (yf[lo:hi] - yf[a])
+                - (xf[a] - xf[lo:hi]) * (cy - yf[a])
+            )
+            a = lo + int(np.argmax(area))  # first max: deterministic
+            sel[b + 1] = a
+        sel[-1] = n - 1
+        return sel
+
+    def udf(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        pdf = pdf.sort_values(keys + [x_col], kind="mergesort").reset_index(drop=True)
+        out = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            x = g[x_col].to_numpy(np.int64)
+            y = g[y_col].to_numpy(np.int64)
+            idx = pick(x, y)
+            frame = {"x": x[idx], "y": y[idx]}
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            for k, v in zip(keys, kv):
+                frame[k] = v
+            out.append(pd.DataFrame(frame))
+        res = pd.concat(out, ignore_index=True)
+        return res[[f.name for f in schema.fields]]
+
+    return series.select(*keys, x_col, y_col).groupBy(*keys).applyInPandas(udf, schema)

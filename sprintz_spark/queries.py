@@ -2335,6 +2335,43 @@ FROM l WHERE prev IS NOT NULL AND t - prev > 3600::BIGINT * 1000000
 """
 
 
+
+
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB shape-preserving downsampling (Steinarsson 2013) over the
+    deterministic generator's 1m byte-size series, reduced to global
+    invariants (point count, series count, x-checksum, y-sum) and pinned
+    as a golden VALUES oracle — the codec_search_stats pattern. The
+    per-point selection itself is parity-tested against a direct
+    transliteration of the published algorithm in test_downsample."""
+    from sprintz_spark.operators.downsample import lttb_downsample
+    from sprintz_spark.operators.rollup import derive_series
+    from sprintz_spark.sources.pages import generate_pages
+
+    series = derive_series(generate_pages(spark, 2000), "1m").select(
+        "url",
+        F.unix_micros(F.col("bucket")).alias("x"),
+        F.col("byte_size_sum").alias("y"),
+    )
+    out = lttb_downsample(series, ["url"], "x", "y", n_out=20)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("url").alias("n_series"),
+        F.sum(F.col("x") % F.lit(1048573)).alias("x_checksum"),
+        F.sum("y").alias("y_sum"),
+    )
+
+
+# pinned 2026-08-17 (round 5) for (seed=42, n_rows=2000, n_out=20); any
+# drift in bucket edges, triangle areas, or tie-breaking changes these
+_LTTB_SQL = """
+SELECT * FROM (VALUES (
+  CAST(795 AS BIGINT), CAST(40 AS BIGINT),
+  CAST(412519971 AS BIGINT), CAST(1373116 AS BIGINT)
+)) AS t(n_points, n_series, x_checksum, y_sum)
+"""
+
+
 def queries() -> dict:
     return {
         "rollup_1m": q_rollup_1m,
@@ -2359,6 +2396,7 @@ def queries() -> dict:
         "value_histogram": q_value_histogram,
         "interval_coverage": q_interval_coverage,
         "gap_report": q_gap_report,
+        "lttb_downsample": q_lttb_downsample,
         "sprintz_roundtrip": q_sprintz_roundtrip,
         "container_roundtrip": q_container_roundtrip,
         "huffman_roundtrip": q_huffman_roundtrip,
@@ -2470,4 +2508,5 @@ def oracles() -> dict:
         "value_histogram": _HISTOGRAM_SQL,
         "interval_coverage": _INTERVAL_COVERAGE_SQL,
         "gap_report": _GAP_REPORT_SQL,
+        "lttb_downsample": _LTTB_SQL,
     }

@@ -72,3 +72,61 @@ def test_rolling_zscore_integer_identity(spark):
             if (vals[t] - mean) ** 2 > 9 * var:
                 flags += 1
     assert out[0]["n_flagged"] == flags
+
+
+def test_lttb_properties_and_reference_parity(spark):
+    """LTTB: endpoints kept, exact input points, right count — and the
+    vectorized bucket scan matches a direct transliteration of the
+    published algorithm (Steinarsson 2013, §4.2) on random series."""
+    import numpy as np
+
+    from sprintz_spark.operators.downsample import lttb_downsample
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for k in range(3):
+        n = 500 + 37 * k
+        x = np.cumsum(rng.integers(1, 5, n)).astype(np.int64)
+        y = (np.cumsum(rng.normal(0, 10, n)) * 100).astype(np.int64)
+        rows += [(f"s{k}", int(a), int(b)) for a, b in zip(x, y)]
+    df = spark.createDataFrame(rows, "key string, x long, y long")
+    out = lttb_downsample(df, ["key"], "x", "y", n_out=40).toPandas()
+
+    def lttb_ref(x, y, n_out):
+        # direct per-point transliteration of the published algorithm
+        n = len(x)
+        edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+        sel = [0]
+        a = 0
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
+            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            best, best_area = lo, -1.0
+            for i in range(lo, hi):
+                area = abs(
+                    (x[a] - cx) * (y[i] - y[a]) - (x[a] - x[i]) * (cy - y[a])
+                )
+                if area > best_area:
+                    best, best_area = i, area
+            sel.append(best)
+            a = best
+        sel.append(n - 1)
+        return np.array(sel)
+
+    for k in range(3):
+        g = out[out["key"] == f"s{k}"].sort_values("x")
+        xs = np.array([r for r in rows if r[0] == f"s{k}"])
+        x = xs[:, 1].astype(np.int64)
+        y = xs[:, 2].astype(np.int64)
+        assert len(g) == 40
+        assert g["x"].iloc[0] == x[0] and g["x"].iloc[-1] == x[-1]
+        ref = lttb_ref(x.astype(float), y.astype(float), 40)
+        np.testing.assert_array_equal(g["x"].to_numpy(), x[ref])
+        np.testing.assert_array_equal(g["y"].to_numpy(), y[ref])
+    # short series pass through untouched
+    short = spark.createDataFrame(
+        [("t", i, i * 2) for i in range(10)], "key string, x long, y long"
+    )
+    got = lttb_downsample(short, ["key"], "x", "y", n_out=40).toPandas()
+    assert len(got) == 10
