@@ -2154,7 +2154,9 @@ def q_winnow_fingerprints(spark, sf_dir):
     from sprintz_spark.functions.text import winnow_fingerprint_exprs
 
     hashes, winnow = winnow_fingerprint_exprs(k=8, w=4)
-    docs = _t(spark, sf_dir, "documents")
+    # the docs table is one small parquet file = one input partition;
+    # spread the md5-gram compute across cores before the projection
+    docs = _t(spark, sf_dir, "documents").repartition(64, "doc_id")
     return (
         docs.select(
             "doc_id",
@@ -2372,6 +2374,78 @@ SELECT * FROM (VALUES (
 """
 
 
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Near-dup candidate pairs via shared winnowed fingerprints (the
+    MOSS match step): explode each doc's fingerprint set, drop
+    "stopword" fingerprints appearing in >100 docs (boilerplate grams —
+    the same hot-bucket cap discipline as the LSH joins), self-join on
+    fingerprint (inverted-index join, never all-pairs), and keep pairs
+    sharing >= 3 fingerprints. The oracle recomputes everything with
+    DuckDB list functions including the frequency cap."""
+    from sprintz_spark.functions.text import winnow_fingerprint_exprs
+
+    hashes, winnow = winnow_fingerprint_exprs(k=8, w=4)
+    docs = _t(spark, sf_dir, "documents").repartition(64, "doc_id")
+    fps = (
+        docs.select(
+            "doc_id",
+            F.expr(r"regexp_replace(lower(trim(text)), '\\s+', ' ')").alias("_norm"),
+        )
+        .withColumn("_hashes", F.expr(hashes))
+        .select("doc_id", F.explode(F.expr(winnow)).alias("fp"))
+        # cache: the md5-gram fingerprint computation feeds the frequency
+        # filter AND both join sides — without it the expensive subtree
+        # evaluates three times
+        .cache()
+    )
+    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 100)
+    keep = fps.join(rare.select("fp"), "fp")
+    a, b = keep.alias("a"), keep.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+
+
+_WINNOW_PAIRS_SQL = r"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(range(1, length(norm) - 8 + 2), i ->
+           ('0x' || substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 15))::BIGINT
+         ) AS hashes
+  FROM n WHERE length(norm) >= 11
+), wnw AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hashes) - 4 + 2), j ->
+           list_min(hashes[CAST(j AS INT):CAST(j + 3 AS INT)])
+         )) AS fps
+  FROM h
+), e AS (
+  SELECT doc_id, unnest(fps) AS fp FROM wnw
+), rare AS (
+  SELECT fp FROM e GROUP BY fp HAVING count(*) <= 100
+), k AS (
+  SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
 def queries() -> dict:
     return {
         "rollup_1m": q_rollup_1m,
@@ -2397,6 +2471,7 @@ def queries() -> dict:
         "interval_coverage": q_interval_coverage,
         "gap_report": q_gap_report,
         "lttb_downsample": q_lttb_downsample,
+        "winnow_pairs": q_winnow_pairs,
         "sprintz_roundtrip": q_sprintz_roundtrip,
         "container_roundtrip": q_container_roundtrip,
         "huffman_roundtrip": q_huffman_roundtrip,
@@ -2509,4 +2584,5 @@ def oracles() -> dict:
         "interval_coverage": _INTERVAL_COVERAGE_SQL,
         "gap_report": _GAP_REPORT_SQL,
         "lttb_downsample": _LTTB_SQL,
+        "winnow_pairs": _WINNOW_PAIRS_SQL,
     }
