@@ -2446,6 +2446,51 @@ GROUP BY 1, 2 HAVING count(*) >= 3
 """
 
 
+
+
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental view maintenance for continuous aggregates: 5% of
+    events (deterministic md5 split) arrive 'late' after the base
+    rollup is built. The corrected rollup recomputes ONLY the (user,
+    hour) buckets the late events touch (left_anti for untouched rows,
+    leftsemi + union + re-agg for touched ones) — never the full table.
+    The oracle is the straight full-recompute rollup, so hash equality
+    proves the incremental path is exact. At 100 TB this is the
+    difference between reprocessing a day and reprocessing everything."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        _cents().alias("cents"),
+        F.col("event_id"),
+    )
+    is_late = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 20 == 0
+    )
+    base = ev.where(~is_late)
+    late = ev.where(is_late)
+
+    def agg(df):
+        return df.groupBy("user_id", "bucket").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("cents_sum")
+        )
+
+    base_agg = agg(base)
+    affected = late.select("user_id", "bucket").distinct()
+    untouched = base_agg.join(affected, ["user_id", "bucket"], "left_anti")
+    recomputed = agg(
+        base.join(affected, ["user_id", "bucket"], "leftsemi").unionByName(late)
+    )
+    return untouched.unionByName(recomputed)
+
+
+_INCREMENTAL_SQL = f"""
+SELECT user_id, date_trunc('hour', ts) AS bucket,
+       count(*) AS n_events, CAST(sum({_CENTS_SQL}) AS BIGINT) AS cents_sum
+FROM events GROUP BY 1, 2
+"""
+
+
 def queries() -> dict:
     return {
         "rollup_1m": q_rollup_1m,
@@ -2472,6 +2517,7 @@ def queries() -> dict:
         "gap_report": q_gap_report,
         "lttb_downsample": q_lttb_downsample,
         "winnow_pairs": q_winnow_pairs,
+        "incremental_rollup": q_incremental_rollup,
         "sprintz_roundtrip": q_sprintz_roundtrip,
         "container_roundtrip": q_container_roundtrip,
         "huffman_roundtrip": q_huffman_roundtrip,
@@ -2585,4 +2631,5 @@ def oracles() -> dict:
         "gap_report": _GAP_REPORT_SQL,
         "lttb_downsample": _LTTB_SQL,
         "winnow_pairs": _WINNOW_PAIRS_SQL,
+        "incremental_rollup": _INCREMENTAL_SQL,
     }
