@@ -53,6 +53,24 @@ def knn_bruteforce(
     )
 
 
+
+def _srp_cell_sql(planes, vec_col: str) -> str:
+    """SQL expression for the SRP base cell of ``vec_col``: one dot
+    product per plane (zip_with/aggregate over literal plane arrays),
+    built as a single string so it costs ONE py4j round trip + one
+    parse. Used by both the corpus indexer and the query probe."""
+    vec_d = f"transform({vec_col}, x -> cast(x as double))"
+    bits = []
+    for i in range(len(planes)):
+        arr = "array(" + ",".join(f"{float(v)!r}d" for v in planes[i]) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_d}, {arr}, (a, b) -> a * b), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        bits.append(f"if({dot} > 0, {1 << i}, 0)")
+    return "cast((" + " + ".join(bits) + ") as int)"
+
+
 def ivf_index(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -64,11 +82,23 @@ def ivf_index(
     """Assign each vector to a signed-random-projection bucket (IVF cell).
 
     ``dim`` skips the one-row probe job when the caller already knows the
-    embedding width (the probe is cheap but is a whole Spark job)."""
+    embedding width (the probe is cheap but is a whole Spark job).
+
+    Small plane tables (n_planes*dim <= 2048, ~hundreds of flops/row)
+    compile to whole-stage-codegen'd Catalyst dot products — cheaper
+    than an Arrow round trip at ANY scale for this arithmetic density;
+    the vectorized pandas_udf remains the path for large plane tables
+    where a real matmul wins. Both paths are individually deterministic
+    (see ivf_topk's note on accumulation order)."""
     if dim is None:
         dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
+
+    if n_planes * dim <= 2048:
+        return emb.withColumn(
+            "cell", F.expr(_srp_cell_sql(planes, vec_col)).cast("int")
+        )
 
     @F.pandas_udf(IntegerType())
     def cell(vecs: pd.Series) -> pd.Series:
@@ -129,18 +159,7 @@ def ivf_topk(
         # pandas_udf would; both paths are individually deterministic,
         # and probing is approximate by contract, so this only perturbs
         # WHICH near-orthogonal cells are probed, never determinism.
-        # one F.expr per column: a single py4j round-trip + one SQL parse,
-        # instead of hundreds of Column-API calls for the plane literals
-        vec_d = f"transform({q_vec_col}, x -> cast(x as double))"
-        bits = []
-        for i in range(n_planes):
-            arr = "array(" + ",".join(f"{float(v)!r}d" for v in planes[i]) + ")"
-            dot = (
-                f"aggregate(zip_with({vec_d}, {arr}, (a, b) -> a * b), "
-                "cast(0.0 as double), (acc, x) -> acc + x)"
-            )
-            bits.append(f"if({dot} > 0, {1 << i}, 0)")
-        base = "cast((" + " + ".join(bits) + ") as int)"
+        base = _srp_cell_sql(planes, q_vec_col)
         cells = "array(" + ",".join(f"(_cell0 ^ {int(m)})" for m in mask_arr) + ")"
         probe = (
             queries.withColumn("_cell0", F.expr(base))
