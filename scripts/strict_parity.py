@@ -86,6 +86,9 @@ def main() -> int:
                     print(f"     values differ in {c}: {int(diff.sum())} rows, e.g. "
                           f"{got[c][diff].head(3).tolist()} vs {want[c][diff].head(3).tolist()}")
     out_json = os.environ.get("PARITY_JSON")
+    if out_json and only:
+        print(f"NOTE: PARITY_JSON={out_json} NOT written (subset run; "
+              "the artifact must cover the full registry)")
     if out_json and not only:
         with open(out_json, "w") as f:
             json.dump({"sf_dir": SF_DIR, "n_queries": len(results),

@@ -132,18 +132,23 @@ def lttb_downsample(
 
     The selection is inherently sequential per series (each choice feeds
     the next triangle), so the per-series scan runs in an applyInPandas
-    stage — one shuffle on the series key, numpy inside, the same
-    many-series-per-partition batching shape as the encoders. Output:
-    key cols + (x, y) of selected points, exact input values.
+    stage — one shuffle on the series key, numpy inside, one udf call
+    per series (grouped semantics). Output: key cols + (x, y) of
+    selected points — EXACT input values with the INPUT column types
+    (selection indexes the original arrays; x/y are never cast).
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
     keys = list(key_cols)
     in_fields = [series.schema[k] for k in keys]
     schema = StructType(
-        in_fields + [StructField("x", LongType()), StructField("y", LongType())]
+        in_fields
+        + [
+            StructField("x", series.schema[x_col].dataType),
+            StructField("y", series.schema[y_col].dataType),
+        ]
     )
 
     def pick(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
@@ -172,20 +177,16 @@ def lttb_downsample(
         return sel
 
     def udf(pdf: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas calls once per group: key columns are constant
         if not len(pdf):
             return pd.DataFrame(columns=[f.name for f in schema.fields])
-        pdf = pdf.sort_values(keys + [x_col], kind="mergesort").reset_index(drop=True)
-        out = []
-        for kv, g in pdf.groupby(keys, sort=False):
-            x = g[x_col].to_numpy(np.int64)
-            y = g[y_col].to_numpy(np.int64)
-            idx = pick(x, y)
-            frame = {"x": x[idx], "y": y[idx]}
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            for k, v in zip(keys, kv):
-                frame[k] = v
-            out.append(pd.DataFrame(frame))
-        res = pd.concat(out, ignore_index=True)
-        return res[[f.name for f in schema.fields]]
+        pdf = pdf.sort_values(x_col, kind="mergesort").reset_index(drop=True)
+        x = pdf[x_col].to_numpy()
+        y = pdf[y_col].to_numpy()
+        idx = pick(x, y)
+        frame = {k: pdf[k].iloc[0] for k in keys}
+        frame["x"] = x[idx]
+        frame["y"] = y[idx]
+        return pd.DataFrame(frame)[[f.name for f in schema.fields]]
 
     return series.select(*keys, x_col, y_col).groupBy(*keys).applyInPandas(udf, schema)

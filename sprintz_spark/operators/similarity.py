@@ -54,6 +54,13 @@ def knn_bruteforce(
 
 
 
+# Below this plane-table size (flops/row), the codegen'd Catalyst dot
+# products beat an Arrow round trip at any scale; ivf_index and ivf_topk
+# MUST share it — mixed paths could assign a corpus vector and an
+# identical query vector to different cells on an ulp-of-zero dot.
+SRP_JVM_MAX_FLOPS = 2048
+
+
 def _srp_cell_sql(planes, vec_col: str) -> str:
     """SQL expression for the SRP base cell of ``vec_col``: one dot
     product per plane (zip_with/aggregate over literal plane arrays),
@@ -95,7 +102,7 @@ def ivf_index(
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
 
-    if n_planes * dim <= 2048:
+    if n_planes * dim <= SRP_JVM_MAX_FLOPS:
         return emb.withColumn(
             "cell", F.expr(_srp_cell_sql(planes, vec_col)).cast("int")
         )
@@ -149,16 +156,13 @@ def ivf_topk(
         )
     mask_arr = np.asarray(masks, dtype=np.int32)
 
-    if n_planes * dim <= 2048:
+    if n_planes * dim <= SRP_JVM_MAX_FLOPS:
         # JVM path: n_planes dot products against literal plane arrays,
         # whole-stage-codegen'd — skips an entire Python-worker stage for
-        # the (typically tiny relative to the corpus) query side. Note
-        # the accumulation order differs from numpy's matmul (sequential
-        # left-fold vs SIMD pairwise), so a dot product within an ulp of
-        # zero could assign a different base cell than the corpus-side
-        # pandas_udf would; both paths are individually deterministic,
-        # and probing is approximate by contract, so this only perturbs
-        # WHICH near-orthogonal cells are probed, never determinism.
+        # the (typically tiny relative to the corpus) query side. The
+        # corpus indexer uses the IDENTICAL expression below the same
+        # shared threshold, so corpus and query cell assignment agree
+        # bit-for-bit (no near-zero accumulation-order divergence).
         base = _srp_cell_sql(planes, q_vec_col)
         cells = "array(" + ",".join(f"(_cell0 ^ {int(m)})" for m in mask_arr) + ")"
         probe = (

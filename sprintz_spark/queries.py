@@ -2388,18 +2388,21 @@ def q_winnow_pairs(spark, sf_dir):
 
     hashes, winnow = winnow_fingerprint_exprs(k=8, w=4)
     docs = _t(spark, sf_dir, "documents").repartition(64, "doc_id")
-    fps = (
+    # cache the PRE-explode per-doc fingerprint arrays: the md5-gram
+    # computation feeds the frequency filter AND both join sides (3
+    # evaluations without it), and the array form is the smallest
+    # cacheable footprint. At true corpus scale this would be a
+    # materialized fingerprint table, not an in-session cache.
+    fp_arrays = (
         docs.select(
             "doc_id",
             F.expr(r"regexp_replace(lower(trim(text)), '\\s+', ' ')").alias("_norm"),
         )
         .withColumn("_hashes", F.expr(hashes))
-        .select("doc_id", F.explode(F.expr(winnow)).alias("fp"))
-        # cache: the md5-gram fingerprint computation feeds the frequency
-        # filter AND both join sides — without it the expensive subtree
-        # evaluates three times
+        .select("doc_id", F.expr(winnow).alias("_fps"))
         .cache()
     )
+    fps = fp_arrays.select("doc_id", F.explode("_fps").alias("fp"))
     rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 100)
     keep = fps.join(rare.select("fp"), "fp")
     a, b = keep.alias("a"), keep.alias("b")
@@ -2457,18 +2460,24 @@ def q_incremental_rollup(spark, sf_dir):
     The oracle is the straight full-recompute rollup, so hash equality
     proves the incremental path is exact. At 100 TB this is the
     difference between reprocessing a day and reprocessing everything."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.date_trunc("hour", F.col("ts")).alias("bucket"),
-        _cents().alias("cents"),
-        F.col("event_id"),
-    )
     is_late = (
         F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 20 == 0
     )
-    base = ev.where(~is_late)
-    late = ev.where(is_late)
+    # cache the flagged scan: base_agg, the affected-bucket set, the
+    # semi-join branch, and the late side are four subtrees over it
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            _cents().alias("cents"),
+            is_late.alias("_late"),
+        )
+        .cache()
+    )
+    base = ev.where(~F.col("_late")).drop("_late")
+    late = ev.where(F.col("_late")).drop("_late")
 
     def agg(df):
         return df.groupBy("user_id", "bucket").agg(

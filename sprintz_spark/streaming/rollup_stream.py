@@ -321,7 +321,7 @@ def stream_gap_alerts(
 
     out_schema = StructType(
         [
-            StructField(key_col, StringType()),
+            StructField(key_col, points_stream.schema[key_col].dataType),
             StructField("gap_start", TimestampType()),
             StructField("gap_end", TimestampType()),
             StructField("gap_us", LongType()),

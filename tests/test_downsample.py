@@ -130,3 +130,20 @@ def test_lttb_properties_and_reference_parity(spark):
     )
     got = lttb_downsample(short, ["key"], "x", "y", n_out=40).toPandas()
     assert len(got) == 10
+
+
+def test_lttb_preserves_float_values_exactly(spark):
+    """Round-5 review fix: y keeps its input dtype — float series come
+    back as exact input doubles, never int-truncated."""
+    import numpy as np
+
+    from sprintz_spark.operators.downsample import lttb_downsample
+
+    rng = np.random.default_rng(9)
+    y = np.round(np.cumsum(rng.normal(0, 1, 300)) + 0.99, 2)
+    rows = [("f", i, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "key string, x long, y double")
+    out = lttb_downsample(df, ["key"], "x", "y", n_out=30).toPandas()
+    assert out["y"].dtype == np.float64
+    src = dict(enumerate(y))
+    assert all(src[int(r["x"])] == r["y"] for _, r in out.iterrows())
