@@ -147,3 +147,45 @@ def test_lttb_preserves_float_values_exactly(spark):
     assert out["y"].dtype == np.float64
     src = dict(enumerate(y))
     assert all(src[int(r["x"])] == r["y"] for _, r in out.iterrows())
+
+
+def test_interval_coverage_matches_bruteforce(spark):
+    """The running-max sweep in q_interval_coverage equals a brute-force
+    union-of-intervals computation on random overlapping intervals."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for u in range(5):
+        starts = np.sort(rng.integers(0, 10_000, 40))
+        lens = rng.integers(1, 900, 40)
+        rows += [(u, int(s), int(s + l)) for s, l in zip(starts, lens)]
+    df = spark.createDataFrame(rows, "user_id long, s long, e long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("e") - F.greatest(F.col("s"), F.coalesce(F.max("e").over(w), F.col("s"))),
+    )
+    got = {
+        r["user_id"]: r["c"]
+        for r in df.select("user_id", contrib.alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+
+    def brute(iv):
+        pts = set()
+        for s, e in iv:
+            pts.update(range(s, e))
+        return len(pts)
+
+    for u in range(5):
+        iv = [(s, e) for uu, s, e in rows if uu == u]
+        assert got[u] == brute(iv), u
