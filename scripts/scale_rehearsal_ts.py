@@ -1,0 +1,80 @@
+"""sf1 scale rehearsal for the timeseries operator family (round-5
+extension of scripts/scale_rehearsal.py, which covers dedup/CC).
+
+Synthesizes a deterministic 10x events table from sf0.1 (copy k shifts
+user_id by k*U; timestamps unchanged, so per-user series shape — the
+thing the window operators cost on — is preserved) and times the core
+window/join operators at both scales. Linear-ish wall growth with 10x
+keys is the evidence the per-key window shapes (partitioned, never
+SinglePartition) hold; results recorded in BASELINE.md.
+
+Usage: python scripts/scale_rehearsal_ts.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    from sprintz_spark import queries as Q
+    from sprintz_spark.session import get_spark
+
+    spark = get_spark(app="ts-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    base_dir = "/root/testdata/sf0.1"
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+
+    big_dir = "/tmp/ts_rehearsal_sf1"
+    if not os.path.exists(f"{big_dir}/events.parquet/_SUCCESS"):
+        copies = spark.range(10).select(F.col("id").alias("k"))
+        big = ev.crossJoin(copies).select(
+            (F.col("user_id") + F.col("k") * n_users).alias("user_id"),
+            *[c for c in ev.columns if c != "user_id"],
+        )
+        big.repartition(64).write.mode("overwrite").parquet(
+            f"{big_dir}/events.parquet"
+        )
+
+    names = [
+        "rollup_1m_events" if False else "gapfill_locf_1h",
+        "gapfill_linear_1h",
+        "sessionize",
+        "asof_join",
+        "m4_downsample",
+        "counter_rate",
+        "zscore_anomalies",
+        "interval_coverage",
+        "gap_report",
+        "topk_heavy_users",
+    ]
+    out = {}
+    qs = Q.queries()
+    for name in names:
+        t0 = time.perf_counter()
+        n_small = qs[name](spark, base_dir).count()
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_big = qs[name](spark, big_dir).count()
+        t_big = time.perf_counter() - t0
+        out[name] = {
+            "rows_1x": n_small,
+            "rows_10x": n_big,
+            "secs_1x": round(t_small, 1),
+            "secs_10x": round(t_big, 1),
+            "wall_growth": round(t_big / t_small, 1),
+        }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
