@@ -164,6 +164,80 @@ def _segment(url_arr, bucket_arr):
     return starts
 
 
+SILVER_COLUMNS = "url string, warc_ts timestamp, nbytes bigint, text_hash bigint, part bigint"
+
+
+def ingest_silver(
+    pages: DataFrame,
+    path: str,
+    table: str = "silver_pages",
+    n_parts: int = 1024,
+    n_buckets: int = 64,
+) -> str:
+    """Bronze→silver ingest projection: the ONE scan of the raw ``html``
+    blobs, run once per snapshot at ingest time.
+
+    Persists the narrow columns every recurring rollup needs —
+    ``(url, warc_ts, nbytes, text_hash, part)`` — as a parquet table
+    bucketed by ``part = pmod(xxhash64(url), n_parts)``. Recurring
+    derive+encode jobs (``fused_rollup_encode``) then read ~40 B/row
+    instead of ~2 KB/row of html, and because the table is bucketed on
+    the same key the fused job groups by, Catalyst drops the row-scale
+    Exchange entirely: the recurring job is scan→sort→UDF, zero shuffle
+    (asserted in tests/test_plans.py). ``text_hash = xxhash64(text)``
+    carries the byte-identity lineage for extraction verification
+    without re-reading html.
+
+    ``n_parts`` is deliberately ~16x ``n_buckets``: bucket assignment is
+    murmur3(part) % n_buckets, so a high-cardinality part key spreads
+    evenly over buckets (64 distinct parts into 64 buckets would leave
+    ~1/e of buckets empty and others doubled — task skew).
+
+    At 100 TB this is the bronze→silver hop of a medallion layout: the
+    html scan happens exactly once per ingested snapshot, amortized over
+    every downstream rollup, gap-fill, and retention job.
+    """
+    spark = pages.sparkSession
+    silver = pages.select(
+        "url",
+        "warc_ts",
+        F.length("html").cast("long").alias("nbytes"),
+        F.xxhash64("text").alias("text_hash"),
+        F.pmod(F.xxhash64("url"), F.lit(n_parts)).alias("part"),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        silver.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "part")
+        .sortBy("part")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+    return table
+
+
+def register_silver(
+    spark, path: str, table: str = "silver_pages", n_buckets: int = 64
+) -> DataFrame:
+    """Re-attach an existing silver store in a fresh session.
+
+    The sandbox's in-memory catalog does not persist table metadata
+    across sessions, so a new session must re-declare the external
+    bucketed table over the files ``ingest_silver`` wrote (Spark reads
+    each file's bucket id from the bucketed-writer file names). On a
+    real deployment the catalog (Hive/Glue/Iceberg) persists this and
+    the DDL happens once.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({SILVER_COLUMNS}) USING parquet "
+        f"CLUSTERED BY (part) SORTED BY (part) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return spark.table(table)
+
+
 def fused_rollup_encode(
     pages: DataFrame,
     tiers: tuple[str, ...] = ("1m", "1h", "1d"),
@@ -307,6 +381,18 @@ def fused_rollup_encode(
         res["encode_secs"] = (time.perf_counter() - t0) / max(len(res), 1)
         return res[out_cols]
 
+    if "nbytes" in pages.columns:
+        # silver input (ingest_silver output): nbytes was projected from
+        # html once at ingest; if the table also carries a precomputed
+        # part key the groupBy below is Exchange-free on a bucketed read
+        # (the recurring-rollup fast path — see ingest_silver docstring).
+        part_col = (
+            F.col("part")
+            if "part" in pages.columns
+            else F.pmod(F.xxhash64("url"), F.lit(n_parts)).alias("part")
+        )
+        slim = pages.select("url", "warc_ts", "nbytes", part_col)
+        return slim.groupBy("part").applyInPandas(udf, _SCHEMA)
     if shuffle_ids:
         slim = pages.select(
             F.xxhash64("url").alias("url_id"),

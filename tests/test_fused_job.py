@@ -42,6 +42,47 @@ def test_fused_equals_modular(spark, pages_small, codec):
     enc.unpersist()
 
 
+def test_silver_path_matches_bronze(spark, pages_small, tmp_path):
+    """ingest_silver + fused on the bucketed silver table must produce
+    tier values bit-identical to the bronze (raw-html) path, and the
+    silver text_hash must equal xxhash64(text) per row."""
+    from pyspark.sql import functions as F
+
+    from sprintz_spark.plans.jobs import ingest_silver, register_silver
+
+    ingest_silver(
+        pages_small, str(tmp_path / "silver"), table="silver_test", n_parts=32, n_buckets=8
+    )
+    silver = register_silver(spark, str(tmp_path / "silver"), "silver_test", n_buckets=8)
+    n_bad = (
+        silver.select("url", "warc_ts", "text_hash")
+        .join(
+            pages_small.select(
+                "url", "warc_ts", F.xxhash64("text").alias("want_hash")
+            ),
+            ["url", "warc_ts"],
+        )
+        .where(F.col("text_hash") != F.col("want_hash"))
+        .count()
+    )
+    assert n_bad == 0
+    enc = fused_rollup_encode(silver, codec="fire").cache()
+    tiers = R.rollup_tiers(pages_small)
+    for tier in ("1m", "1h", "1d"):
+        got = (
+            decode_fused_tier(enc, tier)
+            .toPandas()
+            .sort_values(["url", "bucket"])
+            .reset_index(drop=True)
+        )
+        want = (
+            tiers[tier].toPandas().sort_values(["url", "bucket"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(want[got.columns], got)
+    enc.unpersist()
+    spark.sql("DROP TABLE IF EXISTS silver_test")
+
+
 def test_fused_fire_actually_uses_fire(spark, pages_small):
     import json
 

@@ -64,6 +64,26 @@ def test_fused_job_id_shuffle_carries_no_strings(spark, pages_small):
     assert "html" not in udf_args
 
 
+def test_fused_job_on_silver_is_shuffle_free(spark, pages_small, tmp_path):
+    """The recurring-rollup fast path (round 6): fused over the bucketed
+    silver table must have ZERO exchanges — the ingest-time bucketing on
+    part satisfies the groupBy distribution, so the recurring job is
+    scan→sort→UDF with no row-scale shuffle and no html read ever."""
+    from sprintz_spark.plans.jobs import fused_rollup_encode, ingest_silver, register_silver
+
+    ingest_silver(
+        pages_small, str(tmp_path / "s"), table="silver_plan_test", n_parts=32, n_buckets=8
+    )
+    silver = register_silver(spark, str(tmp_path / "s"), "silver_plan_test", n_buckets=8)
+    df = fused_rollup_encode(silver)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "html" not in plan  # narrow scan: html never touched
+    fmt = _formatted(df)
+    assert "Bucketed: true" in fmt
+    spark.sql("DROP TABLE IF EXISTS silver_plan_test")
+
+
 def test_rollup_has_mapside_partial_aggregation(spark):
     from sprintz_spark import queries as Q
 
