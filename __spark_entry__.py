@@ -81,3 +81,15 @@ def oracle_sql() -> dict[str, str]:
     from sprintz_spark.queries import oracles
 
     return oracles()
+
+
+def release_query_caches() -> int:
+    """Optional hook for long-lived sessions that run many queries():
+    unpersist the tiny subtrees individual queries cached. Safe to call
+    after each query's result is consumed."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sprintz_spark.queries import release_query_caches as rel
+
+    return rel()

@@ -143,10 +143,16 @@ def main() -> None:
     # queries, not session startup
     qmap["topk_heavy_users"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    from sprintz_spark.queries import release_query_caches
+
     times: dict[str, float] = {}
     if os.environ.get("BENCH_ONLY_PIPELINE") != "1":
         for name in qmap:
             times[name] = round(time_query(qmap[name], spark, sf_dir), 3)
+            # release subtrees the query cached so a 64-query run doesn't
+            # accumulate cached blocks session-wide (each query still pays
+            # its own cache-fill inside its timing)
+            release_query_caches()
 
     extra: dict = {}
     if os.environ.get("BENCH_SKIP_PIPELINE") != "1":

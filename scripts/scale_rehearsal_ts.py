@@ -45,7 +45,7 @@ def main() -> int:
         )
 
     names = [
-        "rollup_1m_events" if False else "gapfill_locf_1h",
+        "gapfill_locf_1h",
         "gapfill_linear_1h",
         "sessionize",
         "asof_join",

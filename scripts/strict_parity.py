@@ -63,6 +63,7 @@ def main() -> int:
         if name not in oracles:
             continue
         got = _norm(queries[name](spark, SF_DIR).toPandas())
+        entry_mod.release_query_caches()
         want = _norm(con.sql(oracles[name]).df())
         rows = len(got) == len(want)
         schema = list(got.columns) == list(want.columns)
@@ -90,8 +91,14 @@ def main() -> int:
         print(f"NOTE: PARITY_JSON={out_json} NOT written (subset run; "
               "the artifact must cover the full registry)")
     if out_json and not only:
+        # record which zstd backend was active: codec-search winners are
+        # backend-dependent, so cross-environment golden comparisons need
+        # to know whether the artifacts are comparable
+        from sprintz_spark.codecs.search import zstd_backend
+
         with open(out_json, "w") as f:
             json.dump({"sf_dir": SF_DIR, "n_queries": len(results),
+                       "zstd_backend": zstd_backend(),
                        "n_failing": n_bad, "results": results}, f, indent=1)
     print(f"\n{'ALL GREEN' if n_bad == 0 else f'{n_bad} FAILING'}")
     return 1 if n_bad else 0

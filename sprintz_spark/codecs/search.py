@@ -169,11 +169,21 @@ def _applicable(name: str, dt: np.dtype, n: int) -> str | None:
     return None
 
 
+def zstd_backend() -> str:
+    """Which backend the 'byteshuffle-zstd' pipeline is using in this
+    environment: 'zstandard' (real zstd importable) or 'lzma-fallback'.
+    Codec-search winners can differ between the two (probe sizes AND the
+    DECODE_MBPS entry differ), so parity artifacts record this so a
+    cross-environment comparison knows whether goldens are comparable."""
+    return "zstandard" if getattr(extras, "_zstandard", None) is not None else "lzma-fallback"
+
+
 def search_encode(
     x: np.ndarray,
     sample: int = 1 << 16,
     pipeline: str | None = None,
     size_tolerance: float = SIZE_TOLERANCE,
+    exclude: tuple[str, ...] = (),
 ) -> bytes:
     """Try every applicable pipeline (on a bounded sample for very long
     columns, then encode fully with the winner); return the container.
@@ -192,7 +202,14 @@ def search_encode(
     tests/queries that gate one codec end-to-end); the forced name is
     validated against the pipeline table and the same dtype/width gates
     as the probe loop, so a mismatched codec config raises a clear
-    ValueError instead of a deep TypeError."""
+    ValueError instead of a deep TypeError.
+
+    ``exclude`` removes named pipelines from the probe (no effect on a
+    forced ``pipeline``). Used by environment-pinned golden queries to
+    drop 'byteshuffle-zstd', whose probe output AND decode-speed entry
+    depend on whether the real zstd backend is importable (see
+    ``zstd_backend``) — with it in the probe set, the same data could
+    pick different winners on different machines."""
     x = np.ascontiguousarray(x)
     dt = x.dtype
     if pipeline is not None:
@@ -214,7 +231,7 @@ def search_encode(
     probe = x[:sample] if len(x) > sample else x
     sizes: dict[int, int] = {}
     for i, (name, (enc, _dec)) in enumerate(PIPELINES):
-        if _applicable(name, dt, len(x)) is not None:
+        if name in exclude or _applicable(name, dt, len(x)) is not None:
             continue
         try:
             sizes[i] = len(enc(probe))
@@ -229,14 +246,27 @@ def search_encode(
     return head + np.uint32(len(x)).tobytes() + payload
 
 
-def search_decode(buf: bytes) -> np.ndarray:
+def search_decode(buf: bytes, allow_legacy: bool = False) -> np.ndarray:
+    """Decode a search container. ``allow_legacy`` opts into the
+    pre-versioned (round-3) 6-byte-header format for old retention
+    stores; it is OFF by default because a corrupted v1 blob whose magic
+    byte mutated into the legacy id range (0x00-0x0B) is header-
+    indistinguishable from a legacy blob, and the default should be the
+    unconditional loud refusal, not a guess. Only the retention read
+    path (operators.encode._decode_value_column), which may face pre-v1
+    stores, sets it."""
     if buf[0] == MAGIC and buf[1] == VERSION:
         pipeline_i = buf[2]
         dt = np.dtype(_DTYPES[buf[3]])
         n = int(np.frombuffer(buf[4:8], dtype=np.uint32)[0])
         _name, (_enc, dec) = PIPELINES[pipeline_i]
         return dec(buf[8:], dt, n)
-    if len(buf) >= 6 and buf[0] < len(PIPELINES) and buf[1] < len(_DTYPES):
+    if (
+        allow_legacy
+        and len(buf) >= 6
+        and buf[0] < len(PIPELINES)
+        and buf[1] < len(_DTYPES)
+    ):
         # back-compat: pre-versioned (round-3) container — bare pipeline
         # id first, 6-byte header [id | dtype | u32 n]. The id byte is
         # always <= 0x0B so it can never alias the 0xA5 magic; retention

@@ -63,15 +63,22 @@ def _encode_value_column(s: pd.Series, force: str | None = None) -> tuple[bytes,
     'quantize' requires the decimal quantizer to succeed (raises otherwise),
     'search' routes through the CodecSearch max-ratio container (reference
     python/codec.py:439-535), 'search:NAME' forces that one pipeline
-    (e.g. 'search:huffman' for the canonical-Huffman entropy stage).
+    (e.g. 'search:huffman' for the canonical-Huffman entropy stage), and
+    'search!NAME[,NAME...]' probes with the named pipelines excluded
+    (used by environment-pinned goldens to drop backend-dependent
+    pipelines — see codecs.search.search_encode).
     """
     if force == "gorilla":
         return gorilla.encode(s.to_numpy(np.float64)), {"codec": "gorilla"}
     if force is not None and force.startswith("search"):
         from sprintz_spark.codecs import search as CS
 
+        excl = tuple(x for x in force.partition("!")[2].split(",") if x)
         name = force.partition(":")[2] or None
-        return CS.search_encode(s.to_numpy(), pipeline=name), {"codec": "search"}
+        return (
+            CS.search_encode(s.to_numpy(), pipeline=name, exclude=excl),
+            {"codec": "search"},
+        )
     kind = s.dtype.kind
     if kind in "iu" and not s.isna().any():
         vals = s.to_numpy()
@@ -105,7 +112,9 @@ def _decode_value_column(buf: bytes, meta: dict) -> pd.Series:
     if meta["codec"] == "search":
         from sprintz_spark.codecs import search as CS
 
-        return pd.Series(CS.search_decode(buf))
+        # the retention read path may face pre-v1 stores: explicitly opt
+        # into the legacy 6-byte-header format (see search_decode)
+        return pd.Series(CS.search_decode(buf, allow_legacy=True))
     u = sz.decode_column(buf)
     arr = u.view(np.dtype(meta["np_dtype"]))
     if "qparams" in meta:

@@ -66,7 +66,14 @@ def test_container_magic_version():
     # must still decode it, so retention stores written before the v1
     # header stay readable
     legacy = buf[2:]  # [id | dtype | u32 n | payload]
-    np.testing.assert_array_equal(S.search_decode(legacy).view(np.int64), x)
+    np.testing.assert_array_equal(
+        S.search_decode(legacy, allow_legacy=True).view(np.int64), x
+    )
+    # without the explicit opt-in (round-6): a blob whose first byte
+    # falls in the legacy id range is refused, not silently reinterpreted
+    # — a corrupted v1 container is header-indistinguishable from legacy
+    with pytest.raises(ValueError, match="magic/version"):
+        S.search_decode(legacy)
     # bytes that are neither v1 nor a plausible legacy id are refused
     with pytest.raises(ValueError, match="magic/version"):
         S.search_decode(bytes([0x7F]) + buf[1:])
@@ -92,6 +99,18 @@ def test_forced_pipeline_validation():
     # valid forced pipelines still round-trip
     buf = S.search_encode(ints, pipeline="sprintz-doubledelta")
     np.testing.assert_array_equal(S.search_decode(buf).view(np.int64), ints)
+
+
+def test_exclude_removes_pipeline_from_probe():
+    """Round-6 (environment pinning): excluding a pipeline keeps it out
+    of the probe even when it would win; the container still round-trips."""
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 300, 1 << 14).astype(np.uint16)
+    chosen = S.PIPELINES[S.search_encode(x)[2]][0]
+    buf2 = S.search_encode(x, exclude=(chosen,))
+    chosen2 = S.PIPELINES[buf2[2]][0]
+    assert chosen2 != chosen
+    np.testing.assert_array_equal(S.search_decode(buf2).view(np.uint16), x)
 
 
 def test_balanced_objective_prefers_fast_decoder_within_band():
