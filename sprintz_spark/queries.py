@@ -2541,7 +2541,13 @@ FROM events GROUP BY 1, 2
 """
 
 
-def queries() -> dict:
+def _hand_order() -> dict:
+    """The registry in its hand-curated (insertion/tie-break) order;
+    ``queries()`` reorders it by driver-verification staleness using the
+    generated rotation file (scripts/gen_rotation.py) so the head-50 —
+    the slice the external driver's correctness run covers — is always
+    the least-recently-driver-verified set. Entries past the cap stay
+    oracle-gated via scripts/strict_parity.py and pytest."""
     return {
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -2549,10 +2555,6 @@ def queries() -> dict:
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "topk_heavy_users": q_topk_heavy_users,
-        # The driver's correctness run covers only the FIRST 50 registry
-        # entries, so never-driver-verified and newest oracles go early;
-        # entries green in >=4 driver rounds rotate to the tail (still
-        # oracle-gated via scripts/strict_parity.py and pytest).
         "hash_sample": q_hash_sample,
         "image_features": q_image_features,
         "image_resize": q_image_resize,
@@ -2607,13 +2609,34 @@ def queries() -> dict:
         "dedup_clusters": q_dedup_clusters,
         "top_ngrams": q_top_ngrams,
         "hash_split": q_hash_split,
-        # tail (may fall past the driver's 50-entry cap): 4-rounds-green
-        # since round 1, still gated by strict_parity + pytest.
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "quantize_roundtrip": q_quantize_roundtrip,
         "colsum_predictor": q_colsum_predictor,
         "colsum_weighted": q_colsum_weighted,
     }
+
+
+def queries() -> dict:
+    """Registry in rotation order: least-recently-driver-verified first
+    (see _hand_order / scripts/gen_rotation.py). Names not yet in the
+    generated file — queries added after the last regeneration — go
+    first: they are never-driver-verified by definition. Falls back to
+    the hand order when the rotation file is absent (e.g. the package
+    zip on an executor, where queries() is never called anyway)."""
+    import json as _json
+    import os as _os
+
+    reg = _hand_order()
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "registry_order.json")
+    try:
+        with open(path) as f:
+            order = _json.load(f)["order"]
+    except (OSError, ValueError, KeyError):
+        return reg
+    ranked = [n for n in order if n in reg]
+    new = [n for n in reg if n not in set(ranked)]
+    return {n: reg[n] for n in (*new, *ranked)}
 
 
 def oracles() -> dict:
