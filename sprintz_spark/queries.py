@@ -85,6 +85,78 @@ def q_rollup_1m(spark, sf_dir):
     return _events_1m(spark, sf_dir)
 
 
+def q_stream_rollup_1m(spark, sf_dir):
+    """Streaming continuous aggregate under the driver's oracle gate
+    (round-6: the streaming surface was previously pytest-only): a
+    FINITE watermarked stream over the events table, run to completion
+    with availableNow, whose emitted buckets must hash-equal the same
+    DuckDB SQL that gates the batch rollup_1m — streamed tier rows ==
+    batch derivation, bit for bit.
+
+    Mechanics (the deterministic finite-stream recipe from
+    tests/test_streaming.py): events are staged as one file-source slice
+    plus a far-future sentinel row in a second, later-mtime file; the
+    oldest-first file source replays them in order, the sentinel batch
+    pushes the watermark past every real bucket so append mode emits
+    them all, and the sentinel's own (never-finalized) bucket is the one
+    row filtered back out. State at scale: one open row per
+    (user_id, minute) inside the watermark horizon — bounded by horizon
+    x ingest rate, not by history."""
+    import datetime as dt
+    import os
+    import tempfile
+    import time
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), _cents().alias("cents")
+    )
+    base = tempfile.mkdtemp(prefix="stream_rollup_1m_")
+    src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
+    ev.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # strictly later mtime: the file source is oldest-first
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(days=30), 0)], schema=ev.schema
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents_sum"),
+            F.max("cents").alias("cents_max"),
+            F.min("cents").alias("cents_min"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("bucket"),
+            "n_events",
+            "cents_sum",
+            "cents_max",
+            "cents_min",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(300)
+    # tmp staging (a few MB) is left for the OS: the returned plan lazily
+    # reads `out`, so it cannot be deleted here
+    return spark.read.parquet(out).where(F.col("user_id") >= 0)
+
+
 def q_rollup_1h_cascade(spark, sf_dir):
     # cascade from the 1m tier (bit-exact algebraic re-aggregation); the
     # oracle aggregates raw events directly — equality proves the cascade
@@ -2550,6 +2622,7 @@ def _hand_order() -> dict:
     oracle-gated via scripts/strict_parity.py and pytest."""
     return {
         "rollup_1m": q_rollup_1m,
+        "stream_rollup_1m": q_stream_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_salted": q_rollup_1d_salted,
         "gapfill_locf_1h": q_gapfill_locf_1h,
@@ -2642,6 +2715,9 @@ def queries() -> dict:
 def oracles() -> dict:
     return {
         "rollup_1m": _ROLLUP_SQL.format(unit="minute", cents=_CENTS_SQL),
+        # streamed buckets must equal the batch derivation bit-for-bit:
+        # the streaming query shares the batch rollup's oracle verbatim
+        "stream_rollup_1m": _ROLLUP_SQL.format(unit="minute", cents=_CENTS_SQL),
         "rollup_1h_cascade": _ROLLUP_SQL.format(unit="hour", cents=_CENTS_SQL),
         "rollup_1d_salted": _ROLLUP_SQL.format(unit="day", cents=_CENTS_SQL),
         "gapfill_locf_1h": _GAPFILL_LOCF_SQL,
