@@ -101,6 +101,39 @@ def test_forced_pipeline_validation():
     np.testing.assert_array_equal(S.search_decode(buf).view(np.int64), ints)
 
 
+def test_huffman_wins_band_on_skewed_categorical_ids():
+    """Round-6 positive crossover example: a corpus where the entropy
+    stage SHOULD win and the balanced objective actually picks it.
+
+    Dictionary-coded categorical ids — vocab 64, zipf(a=1.5) frequency
+    skew, ARBITRARY symbol mapping (a permutation, as dictionary ids
+    are) — have no runs, no delta structure, and are byteshuffle-neutral
+    (single-byte lanes), so the LZ class finds no matches and sprintz-raw
+    pays the full per-block max bitwidth. Huffman's probe blob is >10%
+    smaller than every non-entropy pipeline's (measured margin 1.14x vs
+    the best of them), so the 10%-band objective selects it DESPITE its
+    30-40 MB/s decoder — the case the band exists for, complementing the
+    negative examples in BASELINE.md's crossover table."""
+    rng = np.random.default_rng(5)
+    vocab, a = 64, 1.5
+    p = 1.0 / np.arange(1, vocab + 1) ** a
+    p /= p.sum()
+    perm = rng.permutation(vocab)
+    x = perm[rng.choice(vocab, size=1 << 16, p=p)].astype(np.uint8)
+    buf = S.search_encode(x)
+    assert S.PIPELINES[buf[2]][0] == "huffman"
+    np.testing.assert_array_equal(S.search_decode(buf).view(np.uint8), x)
+    # the win is a real >band-width size margin over every non-entropy
+    # pipeline, not a tie-break artifact
+    huff_size = len(dict(S.PIPELINES)["huffman"][0](x))
+    others = {
+        nm: len(enc(x))
+        for nm, (enc, _d) in S.PIPELINES
+        if "huffman" not in nm and S._applicable(nm, x.dtype, len(x)) is None
+    }
+    assert min(others.values()) > huff_size * (1 + S.SIZE_TOLERANCE)
+
+
 def test_exclude_removes_pipeline_from_probe():
     """Round-6 (environment pinning): excluding a pipeline keeps it out
     of the probe even when it would win; the container still round-trips."""
