@@ -86,6 +86,12 @@ def main() -> int:
                     diff = (got[c] != want[c])
                     print(f"     values differ in {c}: {int(diff.sum())} rows, e.g. "
                           f"{got[c][diff].head(3).tolist()} vs {want[c][diff].head(3).tolist()}")
+    try:
+        from sprintz_spark.queries import release_shared_stages
+
+        release_shared_stages()
+    except ImportError:
+        pass
     out_json = os.environ.get("PARITY_JSON")
     if out_json and only:
         print(f"NOTE: PARITY_JSON={out_json} NOT written (subset run; "
