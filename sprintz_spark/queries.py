@@ -2045,6 +2045,340 @@ def q_quality_stats(spark, sf_dir):
     )
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per (user, hour) — the TimescaleDB
+    `time_weight('LOCF', ...)` continuous-aggregate shape: each
+    observation's value is weighted by the microseconds until the next
+    observation in the bucket (the last one extends to bucket end), so
+    irregular sampling doesn't bias the mean toward chatty periods.
+
+    Integer-exact: weights are exact microsecond durations and values
+    integer cents, so the output is sufficient statistics
+    (weighted_cents_us, covered_us) as BIGINTs — the float average is
+    weighted_cents_us / covered_us, left to the consumer. Documented
+    variant: no cross-bucket LOCF carry (a bucket's integral starts at
+    its first observation), keeping the operator a pure per-bucket
+    window + agg with no inter-bucket dependency — at 100 TB each
+    (user, hour) computes independently after one shuffle.
+
+    Overflow: cents x 3600s-in-us < 2^52 per term; per-bucket sums stay
+    far inside int64."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        _cents().alias("cents"),
+    )
+    end_us = F.unix_micros(F.col("bucket").cast("timestamp")) + F.lit(
+        3600 * 1_000_000
+    )
+    w = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+    stepped = ev.withColumn("nxt", F.lead("us").over(w)).withColumn(
+        "weight_us", F.coalesce(F.col("nxt"), end_us) - F.col("us")
+    )
+    return stepped.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("cents") * F.col("weight_us")).alias("weighted_cents_us"),
+        (F.max(end_us) - F.min("us")).alias("covered_us"),
+    )
+
+
+_TIME_WEIGHTED_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, date_trunc('hour', ts) AS bucket,
+         epoch_us(ts) AS us, {_CENTS_SQL} AS cents
+  FROM events
+), w AS (
+  SELECT *, lead(us) OVER (PARTITION BY user_id, bucket ORDER BY us, event_id) AS nxt,
+         epoch_us(bucket) + 3600::BIGINT * 1000000 AS end_us
+  FROM e
+)
+SELECT user_id, bucket, count(*) AS n_obs,
+       CAST(sum(cents * (coalesce(nxt, end_us) - us)) AS BIGINT) AS weighted_cents_us,
+       CAST(max(end_us) - min(us) AS BIGINT) AS covered_us
+FROM w GROUP BY 1, 2
+"""
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher/MassiveText-style repetition filters (Rae et al. 2021,
+    'Scaling Language Models' — the standard LLM-corpus repetition
+    rules), integer-exact so the whole rule set is oracle-gated:
+
+      * word_rep  — most frequent word covers >20% of words,
+      * g2_rep    — the 2-gram with the largest character mass
+                    (count x chars) covers >20% of word characters,
+      * dup5      — character mass of 5-grams occurring >=2 times
+                    exceeds 30% of word characters (char-weighted
+                    variant of Gopher's duplicate-n-gram fraction; the
+                    paper's position-coverage dedup needs interval
+                    merging and is deliberately simplified — documented,
+                    not hidden).
+
+    All statistics are integer max/sum over (doc, gram) counts — no
+    arg-max tie-breaks, no floats — so DuckDB reproduces them exactly.
+    Plan shape at 100 TB: explode grams -> hash-agg on (doc_id, gram)
+    (map-side combine collapses repeats before the shuffle) -> per-doc
+    agg -> per-source agg. Never all-pairs, never a window."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    base = docs.select("doc_id", "source", words.alias("ws")).select(
+        "doc_id",
+        "source",
+        F.size("ws").cast("long").alias("n_words"),
+        F.aggregate(
+            "ws", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("chars_total"),
+        "ws",
+    )
+
+    def gram_arr(k: int):
+        if k == 1:
+            return F.col("ws")
+        # sequence(1, n) counts DOWN when n < 1 — guard short docs
+        expr = F.expr(
+            f"transform(sequence(1, size(ws) - {k - 1}),"
+            f" i -> array_join(slice(ws, i, {k}), ' '))"
+        )
+        return F.when(F.size("ws") >= k, expr).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    lf = None
+    for kind, k in (("w", 1), ("g2", 2), ("g5", 5)):
+        part = base.select(
+            "doc_id", F.explode(gram_arr(k)).alias("gram")
+        ).withColumn("kind", F.lit(kind))
+        lf = part if lf is None else lf.unionByName(part)
+    cnts = lf.groupBy("doc_id", "kind", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_kind = cnts.groupBy("doc_id", "kind").agg(
+        F.max("cnt").alias("max_cnt"),
+        F.max(F.col("cnt") * F.length("gram")).alias("max_mass"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram")).otherwise(0)
+        ).alias("dup_mass"),
+    )
+    per_doc = (
+        base.select("doc_id", "source", "n_words", "chars_total")
+        .join(
+            per_kind.groupBy("doc_id").agg(
+                F.max(F.when(F.col("kind") == "w", F.col("max_cnt"))).alias("w_max"),
+                F.max(F.when(F.col("kind") == "g2", F.col("max_mass"))).alias("g2_mass"),
+                F.max(F.when(F.col("kind") == "g5", F.col("dup_mass"))).alias("g5_dup"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .na.fill({"w_max": 0, "g2_mass": 0, "g5_dup": 0})
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("words_total"),
+        F.sum("chars_total").alias("chars_total"),
+        F.sum((F.col("w_max") * 5 > F.col("n_words")).cast("long")).alias("n_word_rep"),
+        F.sum((F.col("g2_mass") * 5 > F.col("chars_total")).cast("long")).alias("n_g2_rep"),
+        F.sum((F.col("g5_dup") * 10 > F.col("chars_total") * 3).cast("long")).alias("n_dup5"),
+        F.sum("g2_mass").alias("g2_mass_sum"),
+        F.sum("g5_dup").alias("dup5_mass_sum"),
+    )
+
+
+_GOPHER_REP_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         regexp_extract_all(text, '\S+') AS ws,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum([len(w) for w in regexp_extract_all(text, '\S+')]), 0) AS BIGINT) AS chars_total
+  FROM documents
+), grams AS (
+  SELECT doc_id, 'w' AS kind, unnest(ws) AS gram FROM base
+  UNION ALL
+  SELECT doc_id, 'g2', unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                             i -> ws[i] || ' ' || ws[i + 1])) FROM base
+  UNION ALL
+  SELECT doc_id, 'g5', unnest(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                                             i -> array_to_string(ws[i:i+4], ' '))) FROM base
+), cnts AS (
+  SELECT doc_id, kind, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+), per_kind AS (
+  SELECT doc_id, kind, max(cnt) AS max_cnt,
+         max(cnt * len(gram)) AS max_mass,
+         coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * len(gram) END), 0) AS dup_mass
+  FROM cnts GROUP BY 1, 2
+), per_doc AS (
+  SELECT b.doc_id, b.source, b.n_words, b.chars_total,
+         CAST(coalesce(max(CASE WHEN kind = 'w' THEN max_cnt END), 0) AS BIGINT) AS w_max,
+         CAST(coalesce(max(CASE WHEN kind = 'g2' THEN max_mass END), 0) AS BIGINT) AS g2_mass,
+         CAST(coalesce(max(CASE WHEN kind = 'g5' THEN dup_mass END), 0) AS BIGINT) AS g5_dup
+  FROM base b LEFT JOIN per_kind p ON b.doc_id = p.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS words_total,
+       CAST(sum(chars_total) AS BIGINT) AS chars_total,
+       CAST(sum(CASE WHEN w_max * 5 > n_words THEN 1 ELSE 0 END) AS BIGINT) AS n_word_rep,
+       CAST(sum(CASE WHEN g2_mass * 5 > chars_total THEN 1 ELSE 0 END) AS BIGINT) AS n_g2_rep,
+       CAST(sum(CASE WHEN g5_dup * 10 > chars_total * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup5,
+       CAST(sum(g2_mass) AS BIGINT) AS g2_mass_sum,
+       CAST(sum(g5_dup) AS BIGINT) AS dup5_mass_sum
+FROM per_doc GROUP BY source
+"""
+
+
+def q_ohlc_1h(spark, sf_dir):
+    """OHLC / candlestick rollup per (user, hour) — the TimescaleDB
+    `candlestick_agg` / financial-bar shape. Open and close are the
+    first/last observation by the deterministic total order
+    (us, event_id); high/low are plain extremes. Integer-exact (cents),
+    so DuckDB reproduces every cell bit-for-bit.
+
+    Plan shape: pure hash aggregation — `min/max(struct(us, event_id,
+    cents))` gives arg-min/arg-max with lexicographic tie-breaks WITHOUT
+    a window, so at 100 TB this is one map-side-combining shuffle on
+    (user, hour); no per-partition sort, no WindowExec. The struct
+    ordering is identical in Spark and DuckDB (field-order
+    lexicographic), which is what makes the oracle exact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        _cents().alias("cents"),
+    )
+    key = F.struct("us", "event_id", "cents")
+    return ev.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min(key).getField("cents").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(key).getField("cents").alias("close_cents"),
+    )
+
+
+_OHLC_SQL = f"""
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, epoch_us(ts) AS us,
+         event_id, {_CENTS_SQL} AS cents
+  FROM events
+)
+SELECT user_id, bucket, count(*) AS n_obs,
+       (min({{'us': us, 'event_id': event_id, 'cents': cents}})).cents AS open_cents,
+       max(cents) AS high_cents,
+       min(cents) AS low_cents,
+       (max({{'us': us, 'event_id': event_id, 'cents': cents}})).cents AS close_cents
+FROM e GROUP BY 1, 2
+"""
+
+
+def q_state_agg(spark, sf_dir):
+    """Time-in-state aggregate — the TimescaleDB `state_agg` shape over
+    the event stream: each event puts its user into state `event_type`
+    until that user's next event; per state we report entries, total
+    dwell microseconds, distinct users, and the longest single dwell.
+    A user's final event has no successor and contributes an entry but
+    no dwell (sum/max skip the NULL in both engines — documented
+    boundary, no cross-partition carry needed).
+
+    Integer-exact microsecond arithmetic. Plan shape at 100 TB: ONE
+    window partitioned by user_id (massively parallel — millions of
+    small partitions), then a hash agg onto the tiny state key with
+    map-side combine; never a global sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    stepped = ev.withColumn("dur_us", F.lead("us").over(w) - F.col("us"))
+    return stepped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum("dur_us").alias("in_state_us"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("dur_us").alias("max_dwell_us"),
+    )
+
+
+_STATE_AGG_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), s AS (
+  SELECT event_type, user_id,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur_us
+  FROM e
+)
+SELECT event_type, count(*) AS n_entries,
+       CAST(sum(dur_us) AS BIGINT) AS in_state_us,
+       count(DISTINCT user_id) AS n_users,
+       CAST(max(dur_us) AS BIGINT) AS max_dwell_us
+FROM s GROUP BY 1
+"""
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Per-(source, gram-kind) corpus lexical statistics — the
+    vocabulary table an LLM-corpus curator reads before tokenizer
+    training: token totals, vocabulary size, hapax/dis legomena counts
+    (Zipf-tail mass), the top word's count, and the Simpson repeat-mass
+    numerator sum(c*(c-1)) — an integer-exact concentration measure
+    (the float Simpson index is that over tokens*(tokens-1), left to
+    the consumer). Kinds: unigrams ('w') and bigrams ('g2').
+
+    All statistics are integer sums/maxes over (source, gram) counts —
+    no arg-max tie-breaks — so the oracle is exact. Plan shape at
+    100 TB: explode grams -> hash agg on (source, kind, gram) with
+    map-side combine -> hash agg on (source, kind); vocabulary never
+    sits in one partition (gram hash distributes it)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    base = docs.select("source", words.alias("ws"))
+    uni = base.select(
+        "source", F.lit("w").alias("kind"), F.explode("ws").alias("gram")
+    )
+    bi_arr = F.when(
+        F.size("ws") >= 2,
+        F.expr(
+            "transform(sequence(1, size(ws) - 1),"
+            " i -> array_join(slice(ws, i, 2), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = base.select(
+        "source", F.lit("g2").alias("kind"), F.explode(bi_arr).alias("gram")
+    )
+    cnts = uni.unionByName(bi).groupBy("source", "kind", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return cnts.groupBy("source", "kind").agg(
+        F.sum("cnt").alias("tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("hapax"),
+        F.sum((F.col("cnt") == 2).cast("long")).alias("dis_legomena"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("cnt") * (F.col("cnt") - 1)).alias("simpson_num"),
+    )
+
+
+_VOCAB_STATS_SQL = r"""
+WITH base AS (
+  SELECT source, regexp_extract_all(text, '\S+') AS ws FROM documents
+), grams AS (
+  SELECT source, 'w' AS kind, unnest(ws) AS gram FROM base
+  UNION ALL
+  SELECT source, 'g2', unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                             i -> ws[i] || ' ' || ws[i + 1])) FROM base
+), cnts AS (
+  SELECT source, kind, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+)
+SELECT source, kind, CAST(sum(cnt) AS BIGINT) AS tokens, count(*) AS vocab,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis_legomena,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS simpson_num
+FROM cnts GROUP BY 1, 2
+"""
+
+
 def _quality_agg_sql(dim_source: str, dim_name: str) -> str:
     """Shared DuckDB replica of functions.text.quality_score (verified
     bit-equal per doc): ``dim_source`` is any SQL relation producing
@@ -2649,6 +2983,11 @@ def _hand_order() -> dict:
     return {
         "rollup_1m": q_rollup_1m,
         "stream_rollup_1m": q_stream_rollup_1m,
+        "gopher_repetition": q_gopher_repetition,
+        "time_weighted_avg": q_time_weighted_avg,
+        "ohlc_1h": q_ohlc_1h,
+        "state_agg": q_state_agg,
+        "vocab_stats": q_vocab_stats,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_salted": q_rollup_1d_salted,
         "gapfill_locf_1h": q_gapfill_locf_1h,
@@ -2744,6 +3083,11 @@ def oracles() -> dict:
         # streamed buckets must equal the batch derivation bit-for-bit:
         # the streaming query shares the batch rollup's oracle verbatim
         "stream_rollup_1m": _ROLLUP_SQL.format(unit="minute", cents=_CENTS_SQL),
+        "gopher_repetition": _GOPHER_REP_SQL,
+        "time_weighted_avg": _TIME_WEIGHTED_SQL,
+        "ohlc_1h": _OHLC_SQL,
+        "state_agg": _STATE_AGG_SQL,
+        "vocab_stats": _VOCAB_STATS_SQL,
         "rollup_1h_cascade": _ROLLUP_SQL.format(unit="hour", cents=_CENTS_SQL),
         "rollup_1d_salted": _ROLLUP_SQL.format(unit="day", cents=_CENTS_SQL),
         "gapfill_locf_1h": _GAPFILL_LOCF_SQL,
