@@ -143,7 +143,6 @@ def q_stream_rollup_1m(spark, sf_dir):
     import datetime as dt
     import os
     import tempfile
-    import time
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), _cents().alias("cents")
@@ -151,12 +150,20 @@ def q_stream_rollup_1m(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="stream_rollup_1m_")
     src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
     ev.coalesce(1).write.mode("append").parquet(src)
-    time.sleep(1.1)  # strictly later mtime: the file source is oldest-first
     max_ts = ev.agg(F.max("ts")).first()[0]
     sentinel = spark.createDataFrame(
         [(-1, max_ts + dt.timedelta(days=30), 0)], schema=ev.schema
     )
+    before = {os.path.join(src, f) for f in os.listdir(src)}
     sentinel.coalesce(1).write.mode("append").parquet(src)
+    # The oldest-first file source must replay the sentinel slice LAST;
+    # stamp its files strictly later instead of wall-clock sleeping past
+    # the filesystem's mtime granularity.
+    latest = max(os.path.getmtime(p) for p in before)
+    for f in os.listdir(src):
+        p = os.path.join(src, f)
+        if p not in before:
+            os.utime(p, (latest + 2, latest + 2))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -181,15 +188,24 @@ def q_stream_rollup_1m(spark, sf_dir):
             "cents_min",
         )
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .format("parquet")
-        .option("path", out)
-        .start()
-    )
-    q.awaitTermination(300)
+    # Fresh checkpoint each run, so the state-partition count is free to
+    # choose here: 8 state stores comfortably hold the bounded open-bucket
+    # state and cost 4x less per-microbatch overhead than the session's 32.
+    # (At real scale this knob is sized to state volume, not inherited.)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # tmp staging (a few MB) is left for the OS: the returned plan lazily
     # reads `out`, so it cannot be deleted here
     return spark.read.parquet(out).where(F.col("user_id") >= 0)
