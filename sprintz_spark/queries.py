@@ -2395,6 +2395,117 @@ FROM cnts GROUP BY 1, 2
 """
 
 
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end LLM-corpus curation funnel — the composite pipeline a
+    training-data engineer actually runs, as ONE DataFrame DAG with a
+    full cross-engine oracle over every stage:
+
+      stage 1  exact dedup     — canonical survivor = min(doc_id) per
+                                 md5(text) group (deterministic, no
+                                 first()-nondeterminism),
+      stage 2  quality gate    — the verified bit-equal quality score
+                                 (functions.text.quality_score), kept
+                                 when round(q*1e6) >= 500000,
+      stage 3  repetition gate — Gopher word-repetition rule: dropped
+                                 when the top word covers >20% of words.
+
+    Stages compose as a funnel (each applies to the previous stage's
+    survivors), and the output is the per-source funnel report:
+    n_docs -> n_unique -> n_quality_ok -> n_kept, plus kept token mass.
+
+    Plan shape at 100 TB: three independent per-doc subtrees (hash-agg
+    dedup on md5, Arrow-batched quality UDF, explode->hash-agg word
+    counts) joined on doc_id — every join is key-partitioned, nothing
+    is all-pairs, and the final agg is a tiny per-source rollup."""
+    from sprintz_spark.operators.text_ops import with_text_features
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", "source", "text", F.md5("text").alias("h"))
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    s1 = hashed.join(canon, "h").withColumn(
+        "is_canon", F.col("doc_id") == F.col("keep_id")
+    )
+    quality_ok = (
+        F.round(F.col("quality") * 1e6, 0).cast("long") >= 500000
+    )
+    feats = with_text_features(s1).select("doc_id", quality_ok.alias("q_ok"))
+
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    base = docs.select("doc_id", words.alias("ws"))
+    wmax = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("w_max"))
+    )
+    nwords = base.select(
+        "doc_id", F.size("ws").cast("long").alias("n_words")
+    )
+
+    per_doc = (
+        s1.select("doc_id", "source", "is_canon")
+        .join(feats, "doc_id")
+        .join(nwords, "doc_id")
+        .join(wmax, "doc_id", "left")
+        .withColumn("w_max", F.coalesce("w_max", F.lit(0)))
+        .withColumn("keep1", F.col("is_canon"))
+        .withColumn("keep2", F.col("keep1") & F.col("q_ok"))
+        .withColumn(
+            "keep3",
+            F.col("keep2") & ~(F.col("w_max") * 5 > F.col("n_words")),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep1").cast("long")).alias("n_unique"),
+        F.sum(F.col("keep2").cast("long")).alias("n_quality_ok"),
+        F.sum(F.col("keep3").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("keep3"), F.col("n_words")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+    )
+
+
+def _curation_funnel_sql() -> str:
+    per_doc_quality = _quality_agg_sql(
+        "SELECT doc_id AS dim, text FROM documents", "doc_id"
+    )
+    return f"""
+WITH dq AS ({per_doc_quality}),
+ded AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+), canon AS (
+  SELECT h, min(doc_id) AS keep_id FROM ded GROUP BY h
+), words AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+), wcnt AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(ws) AS gram FROM words) GROUP BY 1, 2
+), wmax AS (
+  SELECT doc_id, max(cnt) AS w_max FROM wcnt GROUP BY 1
+), per_doc AS (
+  SELECT d.doc_id, d.source,
+         (d.doc_id = c.keep_id) AS keep1,
+         (d.doc_id = c.keep_id AND q.quality_micros >= 500000) AS keep2,
+         (d.doc_id = c.keep_id AND q.quality_micros >= 500000
+          AND NOT (coalesce(m.w_max, 0) * 5 > len(w.ws))) AS keep3,
+         CAST(len(w.ws) AS BIGINT) AS n_words
+  FROM ded d
+  JOIN canon c USING (h)
+  JOIN dq q ON q.doc_id = d.doc_id
+  JOIN words w ON w.doc_id = d.doc_id
+  LEFT JOIN wmax m ON m.doc_id = d.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN keep2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+       CAST(sum(CASE WHEN keep3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep3 THEN n_words ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM per_doc GROUP BY source
+"""
+
+
 def _quality_agg_sql(dim_source: str, dim_name: str) -> str:
     """Shared DuckDB replica of functions.text.quality_score (verified
     bit-equal per doc): ``dim_source`` is any SQL relation producing
@@ -3004,6 +3115,7 @@ def _hand_order() -> dict:
         "ohlc_1h": q_ohlc_1h,
         "state_agg": q_state_agg,
         "vocab_stats": q_vocab_stats,
+        "curation_funnel": q_curation_funnel,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_salted": q_rollup_1d_salted,
         "gapfill_locf_1h": q_gapfill_locf_1h,
@@ -3104,6 +3216,7 @@ def oracles() -> dict:
         "ohlc_1h": _OHLC_SQL,
         "state_agg": _STATE_AGG_SQL,
         "vocab_stats": _VOCAB_STATS_SQL,
+        "curation_funnel": _curation_funnel_sql(),
         "rollup_1h_cascade": _ROLLUP_SQL.format(unit="hour", cents=_CENTS_SQL),
         "rollup_1d_salted": _ROLLUP_SQL.format(unit="day", cents=_CENTS_SQL),
         "gapfill_locf_1h": _GAPFILL_LOCF_SQL,
