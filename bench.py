@@ -139,9 +139,18 @@ def main() -> None:
         extra={"spark.ui.showConsoleProgress": "false"},
     )
     qmap = load_queries()
-    # warm the JVM/Arrow path once so per-query numbers measure the
-    # queries, not session startup
+    # warm the JVM path once so per-query numbers measure the queries,
+    # not session startup
     qmap["topk_heavy_users"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # ...and the Python worker pool: the first Arrow-UDF query otherwise
+    # pays ~32 worker spawns (head-of-run entries read 2-3x their steady
+    # cost under the rotation ordering, r5->r6 diff)
+    def _warm(batches):
+        yield from batches
+
+    spark.range(0, 32 * 1024, 1, 32).mapInPandas(_warm, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     from sprintz_spark.queries import release_query_caches, release_shared_stages
 

@@ -55,6 +55,11 @@ def main() -> int:
         "interval_coverage",
         "gap_report",
         "topk_heavy_users",
+        # round-6 analytics family (events-only, so the synthesized
+        # 10x table covers them)
+        "time_weighted_avg",
+        "ohlc_1h",
+        "state_agg",
     ]
     out = {}
     qs = Q.queries()
