@@ -2467,6 +2467,120 @@ def q_curation_funnel(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the standard product-analytics rollup:
+    users are cohorted by their first-seen day, and each (cohort_day,
+    day-offset) cell counts the distinct users active that many days
+    after joining. Day 0 is the cohort size, so the retention curve is
+    each row divided by its offset-0 cell (left to the consumer; the
+    stored cells are exact integers).
+
+    Plan shape at 100 TB: distinct (user, day) pairs -> per-user min
+    (both hash aggs on user_id, map-side combined) -> one join on
+    user_id -> a tiny (cohort, offset) count-distinct. No windows, no
+    all-pairs; the user-keyed shuffle is shared by the first two aggs."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    days = ev.distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+_COHORT_RETENTION_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS BIGINT) AS offset_days,
+       count(DISTINCT d.user_id) AS n_active
+FROM d JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered three-step behavioral funnel (view -> click -> purchase,
+    each step strictly after the previous): per-step distinct-user
+    counts plus the exact summed view-to-purchase conversion time in
+    microseconds for full-funnel users. The sequential constraint is
+    expressed as agg -> join -> agg chains (min next-step timestamp
+    greater than the carried previous-step timestamp), never a per-user
+    sort or window.
+
+    Plan shape at 100 TB: three user-keyed hash aggs and two user-keyed
+    joins — all on the same key, so a co-partitioned layout pays one
+    shuffle; the final single-row cross joins are broadcast-trivial."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"), F.min("t1").alias("t1"))
+    )
+    return (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(s1.agg(F.count(F.lit(1)).alias("n_step1")))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_step2")))
+        .crossJoin(
+            s3.agg(
+                F.count(F.lit(1)).alias("n_step3"),
+                F.coalesce(F.sum(F.col("t3") - F.col("t1")), F.lit(0)).alias(
+                    "convert_us_sum"
+                ),
+            )
+        )
+    )
+
+
+_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), s1 AS (
+  SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.us) AS t2, min(s1.t1) AS t1
+  FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.us) AS t3, min(s2.t1) AS t1
+  FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1
+)
+SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+       (SELECT count(*) FROM s1) AS n_step1,
+       (SELECT count(*) FROM s2) AS n_step2,
+       (SELECT count(*) FROM s3) AS n_step3,
+       (SELECT CAST(coalesce(sum(t3 - t1), 0) AS BIGINT) FROM s3) AS convert_us_sum
+"""
+
+
 def _curation_funnel_sql() -> str:
     per_doc_quality = _quality_agg_sql(
         "SELECT doc_id AS dim, text FROM documents", "doc_id"
@@ -3116,6 +3230,8 @@ def _hand_order() -> dict:
         "state_agg": q_state_agg,
         "vocab_stats": q_vocab_stats,
         "curation_funnel": q_curation_funnel,
+        "cohort_retention": q_cohort_retention,
+        "funnel_conversion": q_funnel_conversion,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_salted": q_rollup_1d_salted,
         "gapfill_locf_1h": q_gapfill_locf_1h,
@@ -3217,6 +3333,8 @@ def oracles() -> dict:
         "state_agg": _STATE_AGG_SQL,
         "vocab_stats": _VOCAB_STATS_SQL,
         "curation_funnel": _curation_funnel_sql(),
+        "cohort_retention": _COHORT_RETENTION_SQL,
+        "funnel_conversion": _FUNNEL_SQL,
         "rollup_1h_cascade": _ROLLUP_SQL.format(unit="hour", cents=_CENTS_SQL),
         "rollup_1d_salted": _ROLLUP_SQL.format(unit="day", cents=_CENTS_SQL),
         "gapfill_locf_1h": _GAPFILL_LOCF_SQL,
