@@ -60,6 +60,8 @@ def main() -> int:
         "time_weighted_avg",
         "ohlc_1h",
         "state_agg",
+        "cohort_retention",
+        "funnel_conversion",
     ]
     out = {}
     qs = Q.queries()

@@ -1,0 +1,90 @@
+"""sf1 scale rehearsal for the webtext analytics family (round-6
+extension of scripts/scale_rehearsal.py, which covers dedup/CC, and
+scale_rehearsal_ts.py, which covers the timeseries windows).
+
+Synthesizes a deterministic 10x documents table from sf0.1 (copy k
+shifts doc_id by k*N; odd copies get one appended token so the corpus
+keeps both exact-dup and near-dup structure; source/lang/n_chars ride
+along unchanged) and times the corpus-curation operators at both
+scales. These are explode->hash-agg ladders, so the evidence sought is
+linear-ish wall growth — the gram shuffle is the dominant term and it
+grows with token mass, never quadratically.
+
+Usage: python scripts/scale_rehearsal_webtext.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    from sprintz_spark import queries as Q
+    from sprintz_spark.session import get_spark
+
+    spark = get_spark(app="webtext-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    base_dir = "/root/testdata/sf0.1"
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    n = docs.count()
+
+    big_dir = "/tmp/webtext_rehearsal_sf1"
+    if not os.path.exists(f"{big_dir}/documents.parquet/_SUCCESS"):
+        copies = spark.range(10).select(F.col("id").alias("k"))
+        big = docs.crossJoin(copies).select(
+            (F.col("doc_id") + F.col("k") * n).alias("doc_id"),
+            F.when(
+                F.col("k") % 2 == 1,
+                F.concat(
+                    F.col("text"), F.lit(" variant"), F.col("k").cast("string")
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        big.repartition(64).write.mode("overwrite").parquet(
+            f"{big_dir}/documents.parquet"
+        )
+
+    names = [
+        "gopher_repetition",
+        "vocab_stats",
+        "curation_funnel",
+        "quality_stats",
+        "top_ngrams",
+        "winnow_fingerprints",
+    ]
+    out = {}
+    qs = Q.queries()
+    for name in names:
+        t0 = time.perf_counter()
+        n_small = qs[name](spark, base_dir).count()
+        t_small = time.perf_counter() - t0
+        Q.release_query_caches()
+        t0 = time.perf_counter()
+        n_big = qs[name](spark, big_dir).count()
+        t_big = time.perf_counter() - t0
+        Q.release_query_caches()
+        out[name] = {
+            "rows_1x": n_small,
+            "rows_10x": n_big,
+            "secs_1x": round(t_small, 1),
+            "secs_10x": round(t_big, 1),
+            "wall_growth": round(t_big / t_small, 1),
+        }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
