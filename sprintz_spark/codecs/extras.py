@@ -191,6 +191,39 @@ def zstd_decode(buf: bytes, dtype) -> np.ndarray:
     return np.frombuffer(_lzma.decompress(body), dtype=dtype)
 
 
+def bool_to_categorical_encode(vals) -> tuple[np.ndarray, bool]:
+    """Boolean -> uint8 category codes — the codec the reference declares
+    but never implements (codec.py:595-601: "maps np bools -> bools and
+    nullable bools -> uint8s; doesn't bitpack so that stuff like delta
+    coding will run on it normally"). Plain numpy bools pass through as
+    codes 0/1 (nullable=False); nullable booleans (pandas BooleanDtype
+    or object arrays carrying None/NA) become codes 0/1 with NA as 2
+    (nullable=True). Codes are a normal uint8 column, so booldelta /
+    delta / RLE run on them unchanged — no bitpacking here by design."""
+    import pandas as pd
+
+    if isinstance(vals, pd.Series):
+        if vals.dtype == np.dtype(bool):
+            return vals.to_numpy(np.uint8), False
+        arr = vals.array
+    else:
+        arr = vals
+    if isinstance(arr, np.ndarray) and arr.dtype.kind == "b":
+        return arr.view(np.uint8).copy(), False
+    arr = pd.array(arr, dtype="boolean")
+    codes = arr.fillna(False).to_numpy(np.uint8)
+    codes[pd.isna(arr)] = 2
+    return codes, True
+
+
+def bool_to_categorical_decode(codes: np.ndarray, nullable: bool):
+    if not nullable:
+        return codes.view(bool).copy()
+    import pandas as pd
+
+    return pd.arrays.BooleanArray(codes == 1, codes == 2)
+
+
 def make_lambda_codec(enc_fn, dec_fn):
     """Arbitrary fn-pair wrapper (reference Lambda codec)."""
     return enc_fn, dec_fn

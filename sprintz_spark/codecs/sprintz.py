@@ -68,7 +68,7 @@ def _inflate(buf: bytes) -> bytes:
     return zlib.decompress(memoryview(buf)[1:]) if buf[0] == MAGIC_DEFLATE else buf
 
 MODES = {"delta": 0, "doubledelta": 1, "dyndelta": 2, "fire": 3, "raw": 4,
-         "ewma": 5}
+         "ewma": 5, "booldelta": 6}
 _MODE_NAMES = {v: k for k, v in MODES.items()}
 _W_CODE = {8: 0, 16: 1, 32: 2, 64: 3}
 _W_FROM_CODE = {v: k for k, v in _W_CODE.items()}
@@ -213,11 +213,15 @@ def _pad_repeat_last(u: np.ndarray) -> tuple[np.ndarray, int]:
 def encode_column(x: np.ndarray, mode: str = "delta", deflate: bool = True) -> bytes:
     """Encode an integer numpy array into the SZ1 format."""
     x = np.asarray(x)
+    if x.dtype.kind == "b":
+        x = x.view(np.uint8)
     w = x.dtype.itemsize * 8
     if w not in _UNSIGNED:
         raise ValueError(f"unsupported element width {w}")
     if mode in ("fire", "ewma") and w not in (8, 16):
         raise ValueError(f"{mode} supports 8/16-bit elements only")
+    if mode == "booldelta" and w != 8:
+        raise ValueError("booldelta takes bool/uint8 arrays")
     if x.dtype.kind not in "iu":
         raise TypeError(
             f"encode_column takes integer arrays, got {x.dtype}; "
@@ -252,6 +256,15 @@ def encode_column(x: np.ndarray, mode: str = "delta", deflate: bool = True) -> b
     elif mode == "ewma":
         z = ewma.ewma_encode(padded, w)
         z[n:] = 0  # pads are trailing: zeroing can't affect earlier state
+    elif mode == "booldelta":
+        # XOR-delta for booleans — the codec the reference declares but
+        # never implements (codec.py:238-239: "can't just uint8 because
+        # -1 and +1 delta are the same"): XOR with the previous value is
+        # the self-inverse change indicator, residuals stay in {0,1}
+        # (no zigzag), and constant runs become zero runs so bitpack/RLE
+        # see the same structure integer delta exposes. Repeat-last
+        # padding XORs to 0 in the pad slots for free.
+        z = np.bitwise_xor(padded, np.concatenate((padded[:1] * 0, padded[:-1])))
     elif mode == "raw":
         z = padded
     else:
@@ -371,6 +384,8 @@ def decode_column(buf: bytes) -> np.ndarray:
         out = fire.fire_decode(z, w)
     elif mode == "ewma":
         out = ewma.ewma_decode(z, w)
+    elif mode == "booldelta":
+        out = np.bitwise_xor.accumulate(z)
     elif mode == "raw":
         out = z
     else:  # pragma: no cover
@@ -399,7 +414,7 @@ def decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
     groups: dict = {}
     for i, buf in enumerate(blobs):
         mode, w, n, pad, extra, nbits, payload, firsts = _parse(buf)
-        if mode in ("dyndelta", "ewma"):  # per-blob state; rare paths
+        if mode in ("dyndelta", "ewma", "booldelta"):  # per-blob state; rare paths
             out[i] = decode_column(buf)
             continue
         groups.setdefault((mode, w), []).append(

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -70,6 +71,17 @@ def _encode_value_column(s: pd.Series, force: str | None = None) -> tuple[bytes,
     """
     if force == "gorilla":
         return gorilla.encode(s.to_numpy(np.float64)), {"codec": "gorilla"}
+    if force == "booldelta":
+        from sprintz_spark.codecs.extras import bool_to_categorical_encode
+
+        codes, nullable = bool_to_categorical_encode(s)
+        if nullable:
+            raise ValueError("booldelta series path takes non-null booleans")
+        return (
+            sz.encode_column(codes, "booldelta"),
+            {"codec": "sprintz", "mode": "booldelta", "np_dtype": "uint8",
+             "bool": True},
+        )
     if force is not None and force.startswith("search"):
         from sprintz_spark.codecs import search as CS
 
@@ -122,6 +134,8 @@ def _decode_value_column(buf: bytes, meta: dict) -> pd.Series:
                             Q.QuantizeParams.from_dict(meta["qparams"]))
     if "offset" in meta:  # narrow-width offset quantization (FIRE path)
         return pd.Series(arr.astype(np.int64) + np.int64(meta["offset"]))
+    if meta.get("bool"):
+        return pd.Series(arr.view(bool))
     return pd.Series(arr)
 
 
@@ -137,6 +151,8 @@ def _transform_decoded(arr: np.ndarray, meta: dict) -> np.ndarray | pd.Series:
         )
     if "offset" in meta:
         return out.astype(np.int64) + np.int64(meta["offset"])
+    if meta.get("bool"):
+        return out.view(bool)
     return out
 
 
@@ -411,7 +427,8 @@ def decode_series(
     key_cols = list(key_cols)
     value_cols = list(value_cols)
     key_fields = [enc.schema[k] for k in key_cols]
-    _named = {"long": LongType(), "double": DoubleType()}
+    _named = {"long": LongType(), "double": DoubleType(),
+              "boolean": BooleanType()}
     vt = {
         c: (_named[t] if isinstance(t, str) else t)
         for c, t in (value_types or {}).items()

@@ -511,6 +511,63 @@ FROM events GROUP BY user_id
 """
 
 
+def q_booldelta_roundtrip(spark, sf_dir):
+    """BoolDelta — the boolean XOR-delta codec the reference declares but
+    never implements (codec.py:238-239: its TODO pins why arithmetic
+    delta fails on bools) — forced end-to-end through the series
+    encode/decode path and oracle-gated: a purchase flag per event is
+    encoded per user (XOR residuals bitpack to ~1-bit blocks), decoded,
+    and the per-user true-count AND the ORDER-SENSITIVE flip count
+    (flag != previous flag along the time order) must match raw SQL.
+    The flip count is what proves the decode restored the sequence, not
+    just the multiset. (user_id, ts) is unique in the generated events,
+    so the time order is a total order in both engines."""
+    from sprintz_spark.operators.encode import decode_series, encode_series
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("bucket"),
+        (F.col("event_type") == "purchase").alias("flag"),
+    )
+    enc = encode_series(
+        ev, key_cols=["user_id"], value_cols=["flag"], codecs={"flag": "booldelta"}
+    )
+    dec = decode_series(
+        enc, key_cols=["user_id"], value_cols=["flag"],
+        value_types={"flag": "boolean"},
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    flips = (
+        F.col("flag").cast("int")
+        != F.lag(F.col("flag").cast("int")).over(w)
+    ).cast("long")
+    return (
+        dec.withColumn("flip", F.coalesce(flips, F.lit(0)))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("flag").cast("long")).alias("n_true"),
+            F.sum("flip").alias("n_flips"),
+        )
+    )
+
+
+_BOOLDELTA_SQL = """
+WITH e AS (
+  SELECT user_id, ts, (event_type = 'purchase') AS flag FROM events
+), s AS (
+  SELECT user_id, flag,
+         CASE WHEN flag <> lag(flag) OVER (PARTITION BY user_id ORDER BY ts)
+              THEN 1 ELSE 0 END AS flip
+  FROM e
+)
+SELECT user_id, count(*) AS n_points,
+       CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(coalesce(sum(flip), 0) AS BIGINT) AS n_flips
+FROM s GROUP BY 1
+"""
+
+
 def q_quantize_roundtrip(spark, sf_dir):
     """Decimal quantizer (reference dfquantize2 semantics): float value ->
     uint + QuantizeParams -> sprintz -> decode -> unquantize, lossless.
@@ -3232,6 +3289,7 @@ def _hand_order() -> dict:
         "curation_funnel": q_curation_funnel,
         "cohort_retention": q_cohort_retention,
         "funnel_conversion": q_funnel_conversion,
+        "booldelta_roundtrip": q_booldelta_roundtrip,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_salted": q_rollup_1d_salted,
         "gapfill_locf_1h": q_gapfill_locf_1h,
@@ -3335,6 +3393,7 @@ def oracles() -> dict:
         "curation_funnel": _curation_funnel_sql(),
         "cohort_retention": _COHORT_RETENTION_SQL,
         "funnel_conversion": _FUNNEL_SQL,
+        "booldelta_roundtrip": _BOOLDELTA_SQL,
         "rollup_1h_cascade": _ROLLUP_SQL.format(unit="hour", cents=_CENTS_SQL),
         "rollup_1d_salted": _ROLLUP_SQL.format(unit="day", cents=_CENTS_SQL),
         "gapfill_locf_1h": _GAPFILL_LOCF_SQL,
