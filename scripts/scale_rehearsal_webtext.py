@@ -33,7 +33,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     base_dir = "/root/testdata/sf0.1"
     docs = spark.read.parquet(f"{base_dir}/documents.parquet")
-    n = docs.count()
+    # shift by the id SPAN, not the row count — a sparse doc_id space
+    # would otherwise collide ids across copies and merge unrelated docs
+    # in the dedup structure this rehearsal measures
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
 
     big_dir = "/tmp/webtext_rehearsal_sf1"
     if not os.path.exists(f"{big_dir}/documents.parquet/_SUCCESS"):

@@ -75,7 +75,10 @@ def _encode_value_column(s: pd.Series, force: str | None = None) -> tuple[bytes,
         from sprintz_spark.codecs.extras import bool_to_categorical_encode
 
         codes, nullable = bool_to_categorical_encode(s)
-        if nullable:
+        # nullable flags the INPUT DTYPE; only actual NAs (code 2) are
+        # unrepresentable here — a null-free nullable-boolean series
+        # (arrow-backed pandas produces these) encodes fine
+        if nullable and (codes == 2).any():
             raise ValueError("booldelta series path takes non-null booleans")
         return (
             sz.encode_column(codes, "booldelta"),
@@ -388,7 +391,14 @@ def encode_series(
                         blob, m = _encode_value_column(s.iloc[st : st + ln], force)
                         blobs.append(blob)
                         metas_c.append(m)
-                raws = raws + 8 * piece_lens
+                # raw cost = the column's true element width (bool = 1
+                # byte, floats = 8), not a flat 8 — a flat 8 overstated
+                # booldelta compression ratios 8x
+                try:
+                    itemsize = int(np.dtype(s.dtype).itemsize) or 8
+                except TypeError:
+                    itemsize = 8  # extension/object dtypes land on floats
+                raws = raws + itemsize * piece_lens
             comps = comps + np.fromiter((len(b) for b in blobs), np.int64, n_pieces)
             col_blobs[c] = blobs
             col_metas[c] = metas_c

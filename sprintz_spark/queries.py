@@ -2174,6 +2174,28 @@ FROM w GROUP BY 1, 2
 """
 
 
+def _doc_words():
+    """Whitespace tokenization shared by the corpus-statistics family
+    (gopher_repetition, vocab_stats, curation_funnel) — ONE definition so
+    the three queries and their DuckDB oracles (regexp_extract_all
+    '\\S+') can never silently diverge on what a "word" is."""
+    return F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+
+
+def _gram_arr(k: int):
+    """Word k-gram array over a `ws` words column, short-doc safe
+    (sequence(1, n) counts DOWN when n < 1 — the guard is load-bearing)."""
+    if k == 1:
+        return F.col("ws")
+    expr = F.expr(
+        f"transform(sequence(1, size(ws) - {k - 1}),"
+        f" i -> array_join(slice(ws, i, {k}), ' '))"
+    )
+    return F.when(F.size("ws") >= k, expr).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher/MassiveText-style repetition filters (Rae et al. 2021,
     'Scaling Language Models' — the standard LLM-corpus repetition
@@ -2195,8 +2217,7 @@ def q_gopher_repetition(spark, sf_dir):
     (map-side combine collapses repeats before the shuffle) -> per-doc
     agg -> per-source agg. Never all-pairs, never a window."""
     docs = _t(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
-    base = docs.select("doc_id", "source", words.alias("ws")).select(
+    base = docs.select("doc_id", "source", _doc_words().alias("ws")).select(
         "doc_id",
         "source",
         F.size("ws").cast("long").alias("n_words"),
@@ -2206,22 +2227,10 @@ def q_gopher_repetition(spark, sf_dir):
         "ws",
     )
 
-    def gram_arr(k: int):
-        if k == 1:
-            return F.col("ws")
-        # sequence(1, n) counts DOWN when n < 1 — guard short docs
-        expr = F.expr(
-            f"transform(sequence(1, size(ws) - {k - 1}),"
-            f" i -> array_join(slice(ws, i, {k}), ' '))"
-        )
-        return F.when(F.size("ws") >= k, expr).otherwise(
-            F.array().cast("array<string>")
-        )
-
     lf = None
     for kind, k in (("w", 1), ("g2", 2), ("g5", 5)):
         part = base.select(
-            "doc_id", F.explode(gram_arr(k)).alias("gram")
+            "doc_id", F.explode(_gram_arr(k)).alias("gram")
         ).withColumn("kind", F.lit(kind))
         lf = part if lf is None else lf.unionByName(part)
     cnts = lf.groupBy("doc_id", "kind", "gram").agg(F.count(F.lit(1)).alias("cnt"))
@@ -2404,20 +2413,12 @@ def q_vocab_stats(spark, sf_dir):
     map-side combine -> hash agg on (source, kind); vocabulary never
     sits in one partition (gram hash distributes it)."""
     docs = _t(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
-    base = docs.select("source", words.alias("ws"))
+    base = docs.select("source", _doc_words().alias("ws"))
     uni = base.select(
         "source", F.lit("w").alias("kind"), F.explode("ws").alias("gram")
     )
-    bi_arr = F.when(
-        F.size("ws") >= 2,
-        F.expr(
-            "transform(sequence(1, size(ws) - 1),"
-            " i -> array_join(slice(ws, i, 2), ' '))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     bi = base.select(
-        "source", F.lit("g2").alias("kind"), F.explode(bi_arr).alias("gram")
+        "source", F.lit("g2").alias("kind"), F.explode(_gram_arr(2)).alias("gram")
     )
     cnts = uni.unionByName(bi).groupBy("source", "kind", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -2485,10 +2486,14 @@ def q_curation_funnel(spark, sf_dir):
     quality_ok = (
         F.round(F.col("quality") * 1e6, 0).cast("long") >= 500000
     )
-    feats = with_text_features(s1).select("doc_id", quality_ok.alias("q_ok"))
+    # quality only gates CANONICAL docs (keep2 = keep1 & q_ok), so the
+    # Arrow UDF — the dominant per-doc cost — scores the dedup survivors
+    # only; on a heavily duplicated corpus that is a large multiple saved
+    feats = with_text_features(s1.where(F.col("is_canon"))).select(
+        "doc_id", quality_ok.alias("q_ok")
+    )
 
-    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
-    base = docs.select("doc_id", words.alias("ws"))
+    base = docs.select("doc_id", _doc_words().alias("ws"))
     wmax = (
         base.select("doc_id", F.explode("ws").alias("w"))
         .groupBy("doc_id", "w")
@@ -2502,12 +2507,14 @@ def q_curation_funnel(spark, sf_dir):
 
     per_doc = (
         s1.select("doc_id", "source", "is_canon")
-        .join(feats, "doc_id")
+        .join(feats, "doc_id", "left")  # feats covers canonical docs only
         .join(nwords, "doc_id")
         .join(wmax, "doc_id", "left")
         .withColumn("w_max", F.coalesce("w_max", F.lit(0)))
         .withColumn("keep1", F.col("is_canon"))
-        .withColumn("keep2", F.col("keep1") & F.col("q_ok"))
+        .withColumn(
+            "keep2", F.col("keep1") & F.coalesce(F.col("q_ok"), F.lit(False))
+        )
         .withColumn(
             "keep3",
             F.col("keep2") & ~(F.col("w_max") * 5 > F.col("n_words")),
