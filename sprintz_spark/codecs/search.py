@@ -228,6 +228,17 @@ def search_encode(
         payload = enc(x)
         head = bytes([MAGIC, VERSION, best_i, _DTYPE_CODE[dt]])
         return head + np.uint32(len(x)).tobytes() + payload
+    if exclude:
+        # mirror the forced-pipeline validation: a typo'd exclude name
+        # would otherwise silently exclude nothing, defeating the
+        # environment-pinning purpose the parameter exists for
+        names = {n for n, _ in PIPELINES}
+        unknown = [n for n in exclude if n not in names]
+        if unknown:
+            raise ValueError(
+                f"unknown exclude pipeline(s) {unknown!r}; "
+                f"valid: {', '.join(sorted(names))}"
+            )
     probe = x[:sample] if len(x) > sample else x
     sizes: dict[int, int] = {}
     for i, (name, (enc, _dec)) in enumerate(PIPELINES):

@@ -57,6 +57,26 @@ from sprintz_spark.codecs import sprintz as sz
 DEFAULT_CHUNK = 1 << 16
 
 
+def _raw_itemsize(dtype) -> int:
+    """True raw element width in bytes for ratio accounting (bool = 1,
+    floats/ints = their width). Resolves pandas extension dtypes
+    (nullable BooleanDtype, arrow-backed bool, Int64Dtype, ...) via
+    their numpy counterpart so a nullable bool costs 1 raw byte, not a
+    flat 8 (a flat 8 overstated booldelta compression ratios 8x)."""
+    try:
+        return int(np.dtype(dtype).itemsize) or 8
+    except TypeError:
+        npdt = getattr(dtype, "numpy_dtype", None)
+        if npdt is not None:
+            try:
+                return int(np.dtype(npdt).itemsize) or 8
+            except TypeError:
+                pass
+        if getattr(dtype, "kind", "") == "b":
+            return 1
+        return 8  # object dtypes land on floats
+
+
 def _encode_value_column(s: pd.Series, force: str | None = None) -> tuple[bytes, dict]:
     """quantize → mode search → SZ1; fallback to gorilla for floats.
 
@@ -391,13 +411,7 @@ def encode_series(
                         blob, m = _encode_value_column(s.iloc[st : st + ln], force)
                         blobs.append(blob)
                         metas_c.append(m)
-                # raw cost = the column's true element width (bool = 1
-                # byte, floats = 8), not a flat 8 — a flat 8 overstated
-                # booldelta compression ratios 8x
-                try:
-                    itemsize = int(np.dtype(s.dtype).itemsize) or 8
-                except TypeError:
-                    itemsize = 8  # extension/object dtypes land on floats
+                itemsize = _raw_itemsize(s.dtype)
                 raws = raws + itemsize * piece_lens
             comps = comps + np.fromiter((len(b) for b in blobs), np.int64, n_pieces)
             col_blobs[c] = blobs

@@ -386,6 +386,16 @@ def fused_rollup_encode(
         # html once at ingest; if the table also carries a precomputed
         # part key the groupBy below is Exchange-free on a bucketed read
         # (the recurring-rollup fast path — see ingest_silver docstring).
+        if shuffle_ids:
+            # the id plan exists to shrink the big STRING shuffle; silver
+            # is already narrow and (when bucketed) shuffle-free, so the
+            # combination buys nothing — and the UDF would KeyError on
+            # the absent url_id column. Fail loudly instead.
+            raise ValueError(
+                "shuffle_ids=True is not supported for silver-table input "
+                "(no 'html'/'url_id' column; the silver path is already "
+                "narrow and exchange-free — call with shuffle_ids=False)"
+            )
         part_col = (
             F.col("part")
             if "part" in pages.columns

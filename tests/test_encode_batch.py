@@ -179,3 +179,28 @@ def test_float_batch_uses_fire_mode():
     assert metas[0]["mode"] == want == "fire"
     out = _decode_value_column(blobs[0], metas[0])
     assert (np.asarray(out, dtype=np.float64) == vals).all()
+
+
+def test_raw_itemsize_extension_dtypes():
+    """Round-7 (ADVICE): nullable/arrow-backed bool columns must cost 1
+    raw byte like plain bool, and nullable ints their true width — the
+    np.dtype() fallback alone sent every extension dtype to 8."""
+    import pandas as pd
+
+    from sprintz_spark.operators.encode import _raw_itemsize
+
+    assert _raw_itemsize(np.dtype(bool)) == 1
+    assert _raw_itemsize(np.dtype(np.float64)) == 8
+    assert _raw_itemsize(np.dtype(np.uint16)) == 2
+    assert _raw_itemsize(pd.BooleanDtype()) == 1
+    assert _raw_itemsize(pd.Int32Dtype()) == 4
+    assert _raw_itemsize(pd.array([True, None], dtype="boolean").dtype) == 1
+    try:
+        import pyarrow as pa
+
+        arrow_bool = pd.ArrowDtype(pa.bool_())
+    except (ImportError, TypeError, ValueError):
+        arrow_bool = None
+    if arrow_bool is not None:
+        assert _raw_itemsize(arrow_bool) == 1
+    assert _raw_itemsize(np.dtype(object)) == 8

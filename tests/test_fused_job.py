@@ -80,6 +80,10 @@ def test_silver_path_matches_bronze(spark, pages_small, tmp_path):
         )
         pd.testing.assert_frame_equal(want[got.columns], got)
     enc.unpersist()
+    # round-7 (ADVICE): silver input + shuffle_ids must fail loudly up
+    # front (the UDF would KeyError on the absent url_id mid-job)
+    with pytest.raises(ValueError, match="shuffle_ids"):
+        fused_rollup_encode(silver, shuffle_ids=True)
     spark.sql("DROP TABLE IF EXISTS silver_test")
 
 

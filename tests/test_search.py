@@ -166,3 +166,12 @@ def test_balanced_objective_prefers_fast_decoder_within_band():
     assert S.DECODE_MBPS[chosen_fast] >= S.DECODE_MBPS[best]
     # on this corpus the band genuinely changes the pick
     assert chosen_fast != chosen_ratio, (chosen_fast, sizes)
+
+
+def test_exclude_unknown_name_raises():
+    """Round-7 (ADVICE): a typo'd exclude name must fail loudly, not
+    silently exclude nothing — the parameter exists for environment
+    pinning and a no-op typo defeats it."""
+    x = np.arange(100, dtype=np.uint16)
+    with pytest.raises(ValueError, match="byteshufle-zstd"):
+        S.search_encode(x, exclude=("byteshufle-zstd",))
