@@ -144,8 +144,19 @@ def main() -> None:
     qmap["topk_heavy_users"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # ...and the Python worker pool: the first Arrow-UDF query otherwise
     # pays ~32 worker spawns (head-of-run entries read 2-3x their steady
-    # cost under the rotation ordering, r5->r6 diff)
+    # cost under the rotation ordering, r5->r6 diff). Round-7: also
+    # pre-import the package inside each pooled worker — the r06 bench
+    # read ivf_topk at 3.1s purely because rotation put it FIRST and its
+    # workers paid the numpy/operator import chain (measured decompose:
+    # first call 2.9-3.3s, steady 1.0s, PLANS.md §7); a long-running
+    # cluster's executors have these modules resident, so warming them
+    # out of the per-query numbers is the honest steady-state measure.
     def _warm(batches):
+        import sprintz_spark.codecs.sprintz  # noqa: F401
+        import sprintz_spark.operators.dedup  # noqa: F401
+        import sprintz_spark.operators.encode  # noqa: F401
+        import sprintz_spark.operators.similarity  # noqa: F401
+
         yield from batches
 
     spark.range(0, 32 * 1024, 1, 32).mapInPandas(_warm, "id long").write.format(
