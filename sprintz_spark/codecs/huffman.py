@@ -49,6 +49,14 @@ import numpy as np
 
 MAGIC = b"HUF1"
 MAX_LEN = 15
+# Decoder window width, DECOUPLED from the code-length cap (round 7):
+# codes stay <= 15 bits (the 4-bit nibble length table pins that wire
+# format), but the lookup window is 16 bits so two 8-bit codes fit in
+# one window — on uniform-ish byte data the multi-symbol trick was dead
+# at a 15-bit window (k_max = 15//8 = 1, one symbol per visit) and this
+# alone doubles its throughput. Window reads still come from the same
+# 24-bit per-byte base: offset o in 0..7 leaves 24-o >= 17 >= 16 bits.
+WIN_BITS = 16
 BLOCK_SYMS = 4096  # max symbols per independently-decodable sub-block
 MIN_BLOCK_SYMS = 64
 # Decode wall-time is (iterations ~ block_syms) x (per-numpy-call overhead
@@ -166,6 +174,28 @@ def _read_uvarint(buf: memoryview, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+def _read_uvarints_vec(buf: memoryview, pos: int, count: int) -> tuple[np.ndarray, int]:
+    """Decode ``count`` consecutive LEB128 varints in one vectorized pass
+    (terminal bytes have the high bit CLEAR; 7-bit groups low-first).
+    Returns (values int64, next byte position). Replaces a per-block
+    Python loop that cost ~0.5us/varint on the decode hot path."""
+    if not count:
+        return np.zeros(0, np.int64), pos
+    # each varint is <=10 bytes; scan only a conservative prefix
+    arr = np.frombuffer(buf[pos : pos + 10 * count], np.uint8)
+    term = np.flatnonzero((arr & 0x80) == 0)[:count]
+    if len(term) < count:
+        raise ValueError("truncated varint block header")
+    end = int(term[-1]) + 1
+    arr = arr[:end]
+    starts = np.empty(count, np.int64)
+    starts[0] = 0
+    starts[1:] = term[:-1] + 1
+    within = np.arange(end, dtype=np.int64) - np.repeat(starts, term - starts + 1)
+    vals7 = (arr & np.uint8(0x7F)).astype(np.int64) << (7 * within)
+    return np.add.reduceat(vals7, starts), pos + end
+
+
 def huffman_encode(data) -> bytes:
     """bytes/uint8 array -> canonical-Huffman container."""
     x = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) else np.ascontiguousarray(data, np.uint8)
@@ -215,15 +245,18 @@ def huffman_encode(data) -> bytes:
     head += np.uint16(bs).tobytes()
     head += nibbles.astype(np.uint8).tobytes()  # 128 bytes of code lengths
     head += np.uint32(len(blk_starts)).tobytes()
-    prev = 0
-    for s in blk_starts:
-        head += _uvarint(int(s) - prev)
-        prev = int(s)
+    # vectorized LEB128 of the block-start deltas (byte-identical to the
+    # scalar _uvarint loop this replaces; the Python loop was ~0.5us per
+    # block and capped how many decode lanes a blob could afford)
+    from sprintz_spark.codecs.rle import uvarint_batch
+
+    deltas, _offs = uvarint_batch(np.diff(blk_starts, prepend=0).astype(np.uint64))
+    head += deltas
     return bytes(head) + payload
 
 
 def _decode_table(lens_tbl: np.ndarray):
-    """2^MAX_LEN lookup: window -> (symbol, code length).
+    """2^WIN_BITS lookup: window -> (symbol, code length).
 
     Built with one np.repeat: canonical codes sorted by (length, symbol)
     tile the window space contiguously from 0 (next base = prev base +
@@ -233,12 +266,12 @@ def _decode_table(lens_tbl: np.ndarray):
     # (the tiling invariant is pinned by the roundtrip + prefix-freedom
     # tests against _canonical_codes, so the codes need not be built here)
     used = np.flatnonzero(lens_tbl)
-    sym = np.zeros(1 << MAX_LEN, np.uint8)
-    ln = np.zeros(1 << MAX_LEN, np.uint8)
+    sym = np.zeros(1 << WIN_BITS, np.uint8)
+    ln = np.zeros(1 << WIN_BITS, np.uint8)
     if len(used):
         order = used[np.lexsort((used, lens_tbl[used]))]
         l = lens_tbl[order].astype(np.int64)
-        spans = 1 << (MAX_LEN - l)
+        spans = 1 << (WIN_BITS - l)
         total = int(spans.sum())
         sym[:total] = np.repeat(order.astype(np.uint8), spans)
         ln[:total] = np.repeat(l.astype(np.uint8), spans)
@@ -246,8 +279,8 @@ def _decode_table(lens_tbl: np.ndarray):
 
 
 def _multi_decode_table(lens_tbl: np.ndarray, n_syms: int = 1 << 30):
-    """Multi-symbol lookup tables (the Huff0/FSE trick): for every 15-bit
-    window, how many COMPLETE codes it holds (up to K), the symbols they
+    """Multi-symbol lookup tables (the Huff0/FSE trick): for every
+    WIN_BITS-bit window, how many COMPLETE codes it holds (up to K), the symbols they
     decode to, the cumulative bit length after each, and the bits
     consumed by taking all of them. One table hit then emits several
     symbols, dividing the vectorized loop's iteration count by the mean
@@ -257,7 +290,7 @@ def _multi_decode_table(lens_tbl: np.ndarray, n_syms: int = 1 << 30):
     Built over SHRINKING window subsets: pass k looks up the
     single-symbol table at each still-valid window shifted past its
     first k codes; a window leaves the working set once the next code no
-    longer fits in 15 bits (bits beyond MAX_LEN are unknown at
+    longer fits in WIN_BITS bits (bits beyond the window are unknown at
     table-build time). Cost is W * (1 + fit2_frac + fit3_frac + ...)
     rather than K * W — the build runs per decoded blob, so it must stay
     well under a millisecond for small-chunk workloads.
@@ -269,8 +302,8 @@ def _multi_decode_table(lens_tbl: np.ndarray, n_syms: int = 1 << 30):
     # each extra table pass costs ~2^15 vectorized ops up front; cap the
     # depth by blob size so small blobs don't pay a build they can never
     # amortize (k=1 degenerates to the single-symbol table)
-    k_max = max(1, min(8, MAX_LEN // minlen, n_syms >> 14))
-    w_count = 1 << MAX_LEN
+    k_max = max(1, min(8, WIN_BITS // minlen, n_syms >> 14))
+    w_count = 1 << WIN_BITS
     syms = np.zeros((k_max, w_count), np.uint8)
     clen = np.zeros((k_max, w_count), np.uint8)
     cnt = np.zeros(w_count, np.uint8)
@@ -280,7 +313,7 @@ def _multi_decode_table(lens_tbl: np.ndarray, n_syms: int = 1 << 30):
     cum = np.zeros(w_count, np.int32)
     for k in range(k_max):
         lk = len_t[curw].astype(np.int32)
-        ok = (lk > 0) & (cum + lk <= MAX_LEN)
+        ok = (lk > 0) & (cum + lk <= WIN_BITS)
         if not ok.all():
             idx = idx[ok]
             curw = curw[ok]
@@ -307,20 +340,16 @@ def huffman_decode(buf: bytes) -> np.ndarray:
     lens_tbl[0::2] = nib >> 4
     lens_tbl[1::2] = nib & 0x0F
     n_blocks = int(np.frombuffer(mv[138:142], np.uint32)[0])
-    pos = 142
-    blk_bits = np.zeros(n_blocks, np.int64)
-    acc = 0
-    for i in range(n_blocks):
-        d, pos = _read_uvarint(mv, pos)
-        acc += d
-        blk_bits[i] = acc
+    deltas, pos = _read_uvarints_vec(mv, 142, n_blocks)
+    blk_bits = np.cumsum(deltas)
     payload = np.frombuffer(mv[pos:], np.uint8)
     if not n:
         return np.zeros(0, np.uint8)
     syms_t, clen_t, cnt_t, k_max, advfull_t = _multi_decode_table(lens_tbl, n)
     # 24-bit big-endian window base per BYTE position, built once: the
-    # 15-bit window at bit cursor c is (win_base[c>>3] >> (9-(c&7))) &
-    # 0x7FFF — one gather + arithmetic instead of a 15-wide bit gather
+    # 16-bit window at bit cursor c is (win_base[c>>3] >> (8-(c&7))) &
+    # 0xFFFF — one gather + arithmetic instead of a 16-wide bit gather
+    # (offset c&7 <= 7 leaves 24-7 = 17 >= WIN_BITS bits in the base)
     pb = np.concatenate([payload, np.zeros(8, np.uint8)]).astype(np.int32)
     win_base = (pb[:-2] << 16) | (pb[1:-1] << 8) | pb[2:]
     out = np.empty(n, np.uint8)
@@ -342,7 +371,7 @@ def huffman_decode(buf: bytes) -> np.ndarray:
         op = out_pos[:-1]
         rem = remaining[:-1]
         while rem.min() > k_max:
-            win = (win_base[cur >> 3] >> (9 - (cur & 7))) & 0x7FFF
+            win = (win_base[cur >> 3] >> (8 - (cur & 7))) & 0xFFFF
             m = cnt_t[win].astype(np.int64)
             out[op] = syms_t[0][win]
             for j in range(1, int(m.max())):
@@ -358,7 +387,7 @@ def huffman_decode(buf: bytes) -> np.ndarray:
     ai = np.flatnonzero(remaining > 0)
     while len(ai):
         cur = cursors[ai]
-        win = (win_base[cur >> 3] >> (9 - (cur & 7))) & 0x7FFF
+        win = (win_base[cur >> 3] >> (8 - (cur & 7))) & 0xFFFF
         m = np.minimum(cnt_t[win].astype(np.int64), remaining[ai])
         op = out_pos[ai]
         out[op] = syms_t[0][win]  # every active block emits >= 1 symbol

@@ -123,8 +123,9 @@ DECODE_MBPS: dict[str, float] = {
     # (otherwise the lowest-id tie-break would systematically pick the
     # ~3x-slower lzma pipeline whenever both land in the size band)
     "byteshuffle-zstd": 161.0,
-    "huffman": 40.0,
-    "byteshuffle-huffman": 32.0,
+    # round-7 16-bit decode window (WIN_BITS): ~42 uniform / ~56 skewed
+    "huffman": 50.0,
+    "byteshuffle-huffman": 42.0,
 }
 if getattr(extras, "_zstandard", None) is not None:
     # true zstd decodes ~3x faster than the lzma fallback

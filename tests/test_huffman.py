@@ -137,3 +137,34 @@ def test_decode_throughput_floor():
     rate = len(x) / (time.perf_counter() - t0) / 1e6
     np.testing.assert_array_equal(y, x)
     assert rate > 10.0, f"huffman decode regressed to {rate:.1f} MB/s"
+
+
+def test_uvarints_vec_matches_scalar():
+    """Round-7: the vectorized block-header varint reader must be
+    byte-identical to the scalar LEB128 loop it replaced, including
+    multi-byte and zero deltas."""
+    import numpy as np
+
+    from sprintz_spark.codecs.huffman import _read_uvarint, _read_uvarints_vec, _uvarint
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [
+            [0, 1, 127, 128, 129, 16383, 16384, 2**21 - 1, 2**28, 2**40],
+            rng.integers(0, 2**30, 500),
+        ]
+    ).astype(np.int64)
+    buf = memoryview(b"\xff\xee" + b"".join(_uvarint(int(v)) for v in vals) + b"\xaa")
+    got, end = _read_uvarints_vec(buf, 2, len(vals))
+    np.testing.assert_array_equal(got, vals)
+    # scalar replay agrees on every value and the final cursor
+    pos = 2
+    for v in vals:
+        s, pos = _read_uvarint(buf, pos)
+        assert s == v
+    assert pos == end
+    # truncated header fails loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        _read_uvarints_vec(memoryview(b"\x80\x80"), 0, 1)
