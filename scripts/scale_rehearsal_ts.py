@@ -79,6 +79,40 @@ def main() -> int:
             "secs_10x": round(t_big, 1),
             "wall_growth": round(t_big / t_small, 1),
         }
+
+    # --- hot-key skew leg (round-7 verdict item 8): the join-heavy
+    # analytics pair at 10x rows where ONE user owns ~30% of all events.
+    # cohort_retention joins per-user firsts back onto (user, day) pairs
+    # and funnel_conversion chains three per-user min-aggs+joins — the
+    # shapes where a hot build/probe key would serialize a task. The
+    # rehearsal proves the aggregates stay map-side-combined (a hot
+    # user's distinct (user, day) set collapses to <=#days rows before
+    # the shuffle) and AQE splits anything left, so skew costs ~nothing
+    # beyond the extra rows themselves.
+    skew_dir = "/tmp/ts_rehearsal_sf1_skew"
+    if not os.path.exists(f"{skew_dir}/events.parquet/_SUCCESS"):
+        big = spark.read.parquet(f"{big_dir}/events.parquet")
+        # reassign copies k in {1,2,3} of user 0..n_users to user 0:
+        # user 0 now holds ~30% of all rows, everyone else unchanged
+        skewed = big.withColumn(
+            "user_id",
+            F.when(
+                (F.col("user_id") >= n_users) & (F.col("user_id") < 4 * n_users),
+                F.lit(0).cast("long"),
+            ).otherwise(F.col("user_id")),
+        )
+        skewed.repartition(64).write.mode("overwrite").parquet(
+            f"{skew_dir}/events.parquet"
+        )
+    for name in ("cohort_retention", "funnel_conversion"):
+        t0 = time.perf_counter()
+        n_skew = qs[name](spark, skew_dir).count()
+        t_skew = time.perf_counter() - t0
+        out[f"{name}_skew30pct"] = {
+            "rows_10x_skew": n_skew,
+            "secs_10x_skew": round(t_skew, 1),
+            "vs_uniform_10x": round(t_skew / out[name]["secs_10x"], 2),
+        }
     print(json.dumps(out))
     return 0
 
