@@ -2739,6 +2739,375 @@ SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
 """
 
 
+# --- round-7 analytics additions -----------------------------------------
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Streaming sessionization under the driver's oracle gate (third
+    streaming gate, after stream_rollup_1m / stream_dedup_docs): a
+    finite watermarked stream through native session windows
+    (F.session_window, 30-min gap), run to completion with availableNow
+    plus one far-future sentinel row; the emitted sessions, aggregated
+    per user, must hash-equal a DuckDB sessionization.
+
+    Boundary semantics: session_window starts a NEW session at an event
+    exactly ``gap`` after the previous one (merge iff strictly inside
+    [prev, prev + gap)), so the oracle splits on diff >= gap — the one
+    place it intentionally differs from the batch sessionize oracle's
+    diff > gap (operators/sessions.py documents the divergence; the
+    generator's microsecond timestamps make exact-gap ties measure-zero
+    but the oracle must encode the right semantics regardless).
+
+    State at scale: one open session per (user, in-flight window) inside
+    the watermark horizon; merged and evicted as the watermark passes —
+    bounded by horizon x active users, not history."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    base = tempfile.mkdtemp(prefix="stream_sessionize_")
+    src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
+    ev.coalesce(1).write.mode("append").parquet(src)
+    sentinel = spark.createDataFrame(
+        [(-1, dt.datetime(2099, 1, 1))], schema=ev.schema
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    sess = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select("user_id", "n_ev", "first_ts", "last_ts")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sess.writeStream.outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_sessionize: streaming query did not finish within "
+                "300s (availableNow trigger hung?)"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    got = spark.read.parquet(out).where(F.col("user_id") >= 0)
+    dwell = F.unix_micros("last_ts") - F.unix_micros("first_ts")
+    return got.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("max_session_events"),
+        F.sum(dwell).alias("dwell_us_sum"),
+    )
+
+
+_STREAM_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_ev,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_ev) AS BIGINT) AS n_events,
+       CAST(max(n_ev) AS BIGINT) AS max_session_events,
+       CAST(sum(dwell) AS BIGINT) AS dwell_us_sum
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day active users (the DAU/WAU product-analytics pair):
+    for every day with activity, the distinct users active that day
+    (dau) and in the trailing 7-day window [day-6, day] (wau).
+
+    Plan shape at 100 TB: the input reduces to distinct (user, day)
+    FIRST (hash agg, map-side combined — at most 365 rows/user/year
+    survive whatever the event volume), then each pair EXPLODES into
+    the <=7 report days it contributes to and a second hash agg
+    count-distincts per day. No windows, no self-join, no
+    SinglePartition; the classic count-distinct-over-sliding-window
+    rewrite that avoids carrying a distinct-set state per window."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    d = _cache(d)
+    dau = d.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = d.select(
+        "user_id",
+        F.explode(
+            F.sequence("day", F.col("day") + F.expr("interval 6 days"),
+                       F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    # report only days that exist in the activity set: the trailing
+    # window of a silent day is a consumer-side gap-fill concern
+    return dau.join(wau, "day")
+
+
+_ROLLING_ACTIVE_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), dau AS (
+  SELECT day, count(DISTINCT user_id) AS dau FROM d GROUP BY 1
+), contrib AS (
+  SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS day
+  FROM d
+), wau AS (
+  SELECT day, count(DISTINCT user_id) AS wau FROM contrib GROUP BY 1
+)
+SELECT day, dau, wau FROM dau JOIN wau USING (day)
+"""
+
+
+def q_mad_anomalies(spark, sf_dir):
+    """Robust per-user outlier flags via median/MAD — the
+    quartile-free cousin of zscore_anomalies that survives heavy-tailed
+    spend: a purchase is anomalous when |x - median| > 3 * MAD.
+
+    Exactness trick: both engines compute EXACT type-7 medians, and all
+    medians here are computed over 2x integer cents — an average of two
+    same-parity integers is an integer, so median(2c), every |2c - m2|,
+    and MAD2 = median of those (again all same parity) are
+    integer-valued doubles with no representation error; the 3*MAD
+    comparison is then exact integer arithmetic in both engines. Plan:
+    two user-keyed aggs (median, then MAD over the re-joined diffs) and
+    one flag agg — all hash-partitioned on user_id, no windows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", (_cents() * 2).alias("c2")
+    )
+    ev = _cache(ev)
+    med = ev.groupBy("user_id").agg(F.median("c2").alias("m2"))
+    diffs = ev.join(med, "user_id").select(
+        "user_id", "m2", F.abs(F.col("c2") - F.col("m2")).alias("ad2")
+    )
+    mad = diffs.groupBy("user_id").agg(F.median("ad2").alias("mad2"))
+    return (
+        diffs.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("ad2") > 3 * F.col("mad2")).cast("long")).alias(
+                "n_anomalies"
+            ),
+            F.max("m2").cast("long").alias("med2_cents"),
+            F.max("mad2").cast("long").alias("mad2_cents"),
+        )
+    )
+
+
+_MAD_SQL = f"""
+WITH e AS (
+  SELECT user_id, 2 * {_CENTS_SQL} AS c2 FROM events
+), med AS (
+  SELECT user_id, median(c2) AS m2 FROM e GROUP BY 1
+), diffs AS (
+  SELECT e.user_id, m2, abs(c2 - m2) AS ad2 FROM e JOIN med USING (user_id)
+), mad AS (
+  SELECT user_id, median(ad2) AS mad2 FROM diffs GROUP BY 1
+)
+SELECT user_id, count(*) AS n,
+       CAST(sum(CASE WHEN ad2 > 3 * mad2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       CAST(max(m2) AS BIGINT) AS med2_cents,
+       CAST(max(mad2) AS BIGINT) AS mad2_cents
+FROM diffs JOIN mad USING (user_id)
+GROUP BY user_id
+"""
+
+
+def q_hourly_profile(spark, sf_dir):
+    """Hour-of-day seasonality profile — the diurnal shape a capacity
+    planner or anomaly baseline reads: per hour 0-23, event count,
+    distinct users, cents sum, and the exact median purchase (2x
+    integer-median trick as in mad_anomalies). One hash agg on a
+    24-value key; the median is exact in both engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        "user_id",
+        (_cents() * 2).alias("c2"),
+    )
+    return ev.groupBy("hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        (F.sum("c2") / 2).cast("long").alias("cents_sum"),
+        F.median("c2").cast("long").alias("med2_cents"),
+    )
+
+
+_HOURLY_PROFILE_SQL = f"""
+SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(2 * {_CENTS_SQL}) / 2 AS BIGINT) AS cents_sum,
+       CAST(median(2 * {_CENTS_SQL}) AS BIGINT) AS med2_cents
+FROM events GROUP BY 1
+"""
+
+
+def q_distinctive_terms(spark, sf_dir):
+    """Per-source distinctive bigrams — the integer TF-ISF surrogate of
+    TF-IDF a corpus auditor uses to label sources: each source's top-10
+    bigrams ranked by tf * (n_sources - source_df + 1), where source_df
+    counts sources containing the bigram (inverse-source-frequency with
+    integer weights — no log, so the oracle is exact; the ordering
+    matches TF-IDF's intent: frequent-here, rare-elsewhere). Ties break
+    on the bigram text for full determinism.
+
+    Plan at 100 TB: explode bigrams -> (source, gram) hash agg
+    (map-side combined) -> gram-keyed source_df agg -> join -> per-source
+    top-10 via rank window that Spark rewrites to WindowGroupLimit (only
+    ~10 rows per source-partition cross the final exchange)."""
+    docs = _t(spark, sf_dir, "documents").repartition(64, "doc_id")
+    grams = docs.select(
+        "source", _doc_words().alias("ws")
+    ).select("source", F.explode(_gram_arr(2)).alias("gram"))
+    tf = grams.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _cache(tf)
+    sdf = tf.groupBy("gram").agg(F.count(F.lit(1)).alias("source_df"))
+    n_sources = tf.select("source").distinct().count()
+    scored = tf.join(sdf, "gram").select(
+        "source",
+        "gram",
+        "tf",
+        (F.col("tf") * (F.lit(n_sources) - F.col("source_df") + 1)).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("gram").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("source", "rnk", "gram", "tf", "score")
+    )
+
+
+_DISTINCTIVE_SQL = r"""
+WITH base AS (
+  SELECT source, regexp_extract_all(text, '\S+') AS ws FROM documents
+), grams AS (
+  SELECT source, unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                       i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM base
+), tf AS (
+  SELECT source, gram, count(*) AS tf FROM grams GROUP BY 1, 2
+), sdf AS (
+  SELECT gram, count(*) AS source_df FROM tf GROUP BY 1
+), scored AS (
+  SELECT source, gram, tf,
+         tf * ((SELECT count(DISTINCT source) FROM tf) - source_df + 1) AS score
+  FROM tf JOIN sdf USING (gram)
+)
+SELECT source, CAST(rnk AS INT) AS rnk, gram, tf, CAST(score AS BIGINT) AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, gram) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
+
+def q_containment_dups(spark, sf_dir):
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT — the
+    Broder measure Jaccard misses: |A ∩ B| / |A| >= 0.9 flags doc a as
+    embedded in (quoted by, a prefix of) doc b even when b is much
+    longer, which symmetric Jaccard dilutes below any threshold. The
+    standard quote/subset-dup pass a training-data pipeline runs beside
+    MinHash.
+
+    Mechanics: distinct 3-gram shingles per doc; shingles in > 100 docs
+    are dropped before the join (boilerplate cap — same discipline as
+    every LSH/inverted-index join here, and the oracle applies the SAME
+    cap so the gate is exact; denominators use the UNCAPPED shingle
+    count, making the cap strictly recall-reducing, never
+    precision-breaking). Inverted-index equi-join on shingle, never
+    all-pairs; integer cross-multiplied threshold (m * 10 >= n * 9).
+    Output is the aggregate pair count, distinct contained docs, and an
+    id checksum so the result stays O(1) wide at any corpus size."""
+    docs = _t(spark, sf_dir, "documents").repartition(64, "doc_id")
+    sh = docs.select("doc_id", _doc_words().alias("ws")).select(
+        "doc_id", F.explode(F.array_distinct(_gram_arr(3))).alias("g")
+    )
+    sh = _cache(sh)  # feeds df-cap, denominators, and both join sides
+    df = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    keep = sh.join(df.where(F.col("df") <= 100), "g").select("doc_id", "g")
+    nr = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = keep.select(F.col("doc_id").alias("a"), "g")
+    b = keep.select(F.col("doc_id").alias("b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    pairs = inter.join(nr.withColumnRenamed("doc_id", "a"), "a").where(
+        F.col("m") * 10 >= F.col("n_sh") * 9
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("a").alias("n_contained"),
+        F.sum(F.col("a") + F.col("b")).alias("id_sum"),
+    )
+
+
+_CONTAINMENT_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM w
+), df AS (
+  SELECT g, count(*) AS df FROM sh GROUP BY 1
+), keep AS (
+  SELECT doc_id, g FROM sh JOIN df USING (g) WHERE df <= 100
+), nr AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS m
+  FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a, b FROM inter JOIN nr ON inter.a = nr.doc_id
+  WHERE m * 10 >= n_sh * 9
+)
+SELECT count(*) AS n_pairs,
+       count(DISTINCT a) AS n_contained,
+       CAST(coalesce(sum(a + b), 0) AS BIGINT) AS id_sum
+FROM pairs
+"""
+
+
 def _curation_funnel_sql() -> str:
     per_doc_quality = _quality_agg_sql(
         "SELECT doc_id AS dim, text FROM documents", "doc_id"
@@ -3383,6 +3752,7 @@ def _hand_order() -> dict:
         "rollup_1m": q_rollup_1m,
         "stream_rollup_1m": q_stream_rollup_1m,
         "stream_dedup_docs": q_stream_dedup_docs,
+        "stream_sessionize": q_stream_sessionize,
         "gopher_repetition": q_gopher_repetition,
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc_1h": q_ohlc_1h,
@@ -3391,6 +3761,11 @@ def _hand_order() -> dict:
         "curation_funnel": q_curation_funnel,
         "cohort_retention": q_cohort_retention,
         "funnel_conversion": q_funnel_conversion,
+        "rolling_active_users": q_rolling_active_users,
+        "mad_anomalies": q_mad_anomalies,
+        "hourly_profile": q_hourly_profile,
+        "distinctive_terms": q_distinctive_terms,
+        "containment_dups": q_containment_dups,
         "booldelta_roundtrip": q_booldelta_roundtrip,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_salted": q_rollup_1d_salted,
@@ -3488,6 +3863,7 @@ def oracles() -> dict:
         # the streaming query shares the batch rollup's oracle verbatim
         "stream_rollup_1m": _ROLLUP_SQL.format(unit="minute", cents=_CENTS_SQL),
         "stream_dedup_docs": _STREAM_DEDUP_DOCS_SQL,
+        "stream_sessionize": _STREAM_SESSIONIZE_SQL,
         "gopher_repetition": _GOPHER_REP_SQL,
         "time_weighted_avg": _TIME_WEIGHTED_SQL,
         "ohlc_1h": _OHLC_SQL,
@@ -3496,6 +3872,11 @@ def oracles() -> dict:
         "curation_funnel": _curation_funnel_sql(),
         "cohort_retention": _COHORT_RETENTION_SQL,
         "funnel_conversion": _FUNNEL_SQL,
+        "rolling_active_users": _ROLLING_ACTIVE_SQL,
+        "mad_anomalies": _MAD_SQL,
+        "hourly_profile": _HOURLY_PROFILE_SQL,
+        "distinctive_terms": _DISTINCTIVE_SQL,
+        "containment_dups": _CONTAINMENT_SQL,
         "booldelta_roundtrip": _BOOLDELTA_SQL,
         "rollup_1h_cascade": _ROLLUP_SQL.format(unit="hour", cents=_CENTS_SQL),
         "rollup_1d_salted": _ROLLUP_SQL.format(unit="day", cents=_CENTS_SQL),
