@@ -18,20 +18,24 @@ code construction):
   the stream is cut into independent sub-blocks at encode time (bit
   offsets in the header), so decode advances in EVERY sub-block at once.
   Two speed tricks on top of the basic one-symbol-per-iteration loop:
-  (1) MULTI-SYMBOL lookup tables (the Huff0 trick): each 2^15-entry
-  table hit emits every complete code in the 15-bit window (up to 8),
-  dividing the iteration count by the mean symbols-per-window; (2) the
-  window itself is read as a 24-bit big-endian integer from a
-  precomputed per-byte base array — one gather + shifts instead of a
-  15-wide bit gather. Work is O(n) with numpy ops of width n_blocks —
-  the same "independent blocks make entropy decode parallel" observation
-  the reference's block format is built on. Measured ~25-30 MB/s/core on
-  4-8-bit/symbol data and ~55 MB/s/core on highly skewed data (3x the
-  single-symbol loop); the remaining wall is one gather + one scatter
-  cache miss per window visit, inherent to table decode in numpy.
+  (1) MULTI-SYMBOL lookup tables (the Huff0 trick): each 2^WIN_BITS-
+  entry table hit emits every complete code in the 16-bit window (up
+  to 8) — the window is one bit WIDER than the longest code so two
+  8-bit codes always pair, which is what keeps the trick alive on
+  byte-uniform data; (2) the window itself is read as a 24-bit
+  big-endian integer from a precomputed per-byte base array — one
+  gather + shifts instead of a 16-wide bit gather. Work is O(n) with
+  numpy ops of width n_blocks — the same "independent blocks make
+  entropy decode parallel" observation the reference's block format is
+  built on. Measured ~42 MB/s/core on 8-bit/symbol uniform data and
+  ~55-58 MB/s/core on highly skewed data; the remaining wall is numpy
+  per-op dispatch over the ~10K-lane emit vectors (BASELINE.md has the
+  closing ceiling analysis).
 * max code length is capped at 15 by flattening the histogram (repeated
   sqrt) until the tree fits — the standard depth-limiting heuristic —
-  so the decode table is at most 2^15 entries.
+  which is what the 4-bit nibble length table requires; the decode
+  table is 2^WIN_BITS = 2^16 entries (window width is decoder-internal
+  and independent of the wire format).
 
 Container: 'HUF1' magic | u32 n_symbols | u16 block_syms | 128 B nibble-
 packed code lengths | u32 n_blocks | varint bit-offset deltas | payload.
@@ -299,7 +303,8 @@ def _multi_decode_table(lens_tbl: np.ndarray, n_syms: int = 1 << 30):
     sym_t, len_t = _decode_table(lens_tbl)
     used = lens_tbl[lens_tbl > 0]
     minlen = int(used.min()) if len(used) else 1
-    # each extra table pass costs ~2^15 vectorized ops up front; cap the
+    # each extra table pass costs ~2^WIN_BITS (= 2^16) vectorized ops up
+    # front (~11 ms total at k_max=8 on this host); cap the
     # depth by blob size so small blobs don't pay a build they can never
     # amortize (k=1 degenerates to the single-symbol table)
     k_max = max(1, min(8, WIN_BITS // minlen, n_syms >> 14))

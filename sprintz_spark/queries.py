@@ -123,6 +123,35 @@ def q_rollup_1m(spark, sf_dir):
     return _events_1m(spark, sf_dir)
 
 
+def _run_finite_stream(spark, df, name: str, out: str, chk: str) -> None:
+    """Shared runner for the finite-stream oracle gates: availableNow a
+    streaming DataFrame to parquet with a FRESH 8-state-partition
+    checkpoint (4x less per-microbatch overhead than the session's 32
+    for these bounded streams; at real scale this knob is sized to
+    state volume, not inherited) and fail LOUDLY on timeout — reading
+    `out` after an unfinished query would return a partial result that
+    surfaces as a baffling parity mismatch."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"{name}: streaming query did not finish within 300s "
+                "(availableNow trigger hung?)"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def q_stream_rollup_1m(spark, sf_dir):
     """Streaming continuous aggregate under the driver's oracle gate
     (round-6: the streaming surface was previously pytest-only): a
@@ -182,32 +211,7 @@ def q_stream_rollup_1m(spark, sf_dir):
             "cents_min",
         )
     )
-    # Fresh checkpoint each run, so the state-partition count is free to
-    # choose here: 8 state stores comfortably hold the bounded open-bucket
-    # state and cost 4x less per-microbatch overhead than the session's 32.
-    # (At real scale this knob is sized to state volume, not inherited.)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.outputMode("append")
-            .option("checkpointLocation", chk)
-            .trigger(availableNow=True)
-            .format("parquet")
-            .option("path", out)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            # still running ⇒ reading `out` now would return a PARTIAL
-            # result that surfaces as a baffling parity mismatch; stop
-            # the query and fail loudly instead.
-            q.stop()
-            raise TimeoutError(
-                "stream_rollup_1m: streaming query did not finish within "
-                "300s (availableNow trigger hung?)"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _run_finite_stream(spark, agg, "stream_rollup_1m", out, chk)
     # tmp staging (a few MB) is left for the OS: the returned plan lazily
     # reads `out`, so it cannot be deleted here
     return spark.read.parquet(out).where(F.col("user_id") >= 0)
@@ -221,7 +225,8 @@ def q_stream_dedup_docs(spark, sf_dir):
     the batch exact-dedup answer.
 
     Slice 1 = the documents table; slice 2 = re-stamped COPIES of every
-    doc_id % 50 == 0 doc (new doc_id += 1e6), mtime-stamped later so the
+    doc_id % 50 == 0 doc (new doc_id offset past the staged max, so copy
+    ids are disjoint at any corpus size), mtime-stamped later so the
     file source replays it in a second micro-batch — every copy must be
     dropped by dedup STATE carried across batches, which is the property
     a batch-mode rerun could fake. Survivor identity inside slice 1 is
@@ -250,9 +255,16 @@ def q_stream_dedup_docs(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="stream_dedup_docs_")
     src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
     docs.coalesce(1).write.mode("append").parquet(src)
+    # copy ids must be disjoint from REAL ids at any corpus size — a
+    # fixed +1e6 offset would misclassify genuine doc_ids >= 1e6 as
+    # copies on a large SF; derive the offset from the staged slice
+    # (tiny agg over the file just written, no second corpus scan)
+    copy_off = (
+        spark.read.parquet(src).agg(F.max("doc_id")).first()[0] or 0
+    ) + 1
     before = {os.path.join(src, f) for f in os.listdir(src)}
     copies = docs.where(F.pmod("doc_id", F.lit(50)) == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        "doc_id", F.col("doc_id") + F.lit(copy_off)
     )
     copies.coalesce(1).write.mode("append").parquet(src)
     # slice 2 must replay AFTER slice 1 (oldest-first source): stamp its
@@ -269,31 +281,13 @@ def q_stream_dedup_docs(spark, sf_dir):
         .parquet(src)
     )
     deduped = stream_exact_dedup(stream, watermark="24 hours")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            deduped.writeStream.outputMode("append")
-            .option("checkpointLocation", chk)
-            .trigger(availableNow=True)
-            .format("parquet")
-            .option("path", out)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "stream_dedup_docs: streaming query did not finish within "
-                "300s (availableNow trigger hung?)"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _run_finite_stream(spark, deduped, "stream_dedup_docs", out, chk)
     surv = spark.read.parquet(out)
     h32 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
     return surv.agg(
         F.count(F.lit(1)).alias("n_out"),
         F.sum(h32).alias("hash_sum"),
-        F.sum((F.col("doc_id") >= 1_000_000).cast("long")).alias("n_copy_survivors"),
+        F.sum((F.col("doc_id") >= copy_off).cast("long")).alias("n_copy_survivors"),
     )
 
 
@@ -2776,41 +2770,21 @@ def q_stream_sessionize(spark, sf_dir):
     )
     sentinel.coalesce(1).write.mode("append").parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
-    sess = (
-        stream.withWatermark("ts", "1 minute")
-        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_ev"),
-            F.min("ts").alias("first_ts"),
-            F.max("ts").alias("last_ts"),
-        )
-        .select("user_id", "n_ev", "first_ts", "last_ts")
+    # the SHIPPED operator, not an inline twin — the gate must exercise
+    # the code path a user calls (streaming/rollup_stream.py)
+    from sprintz_spark.streaming.rollup_stream import stream_sessionize
+
+    sess = stream_sessionize(
+        stream, key="user_id", ts_col="ts", gap="30 minutes",
+        watermark="1 minute", with_bounds=True,
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            sess.writeStream.outputMode("append")
-            .option("checkpointLocation", chk)
-            .trigger(availableNow=True)
-            .format("parquet")
-            .option("path", out)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "stream_sessionize: streaming query did not finish within "
-                "300s (availableNow trigger hung?)"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _run_finite_stream(spark, sess, "stream_sessionize", out, chk)
     got = spark.read.parquet(out).where(F.col("user_id") >= 0)
     dwell = F.unix_micros("last_ts") - F.unix_micros("first_ts")
     return got.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        F.sum("n_ev").alias("n_events"),
-        F.max("n_ev").alias("max_session_events"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
         F.sum(dwell).alias("dwell_us_sum"),
     )
 
@@ -3075,7 +3049,11 @@ def q_containment_dups(spark, sf_dir):
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("a").alias("n_contained"),
-        F.sum(F.col("a") + F.col("b")).alias("id_sum"),
+        # coalesce like the oracle: a pair-free corpus must read 0, not
+        # NULL, or the gate would spuriously fail on regenerated data
+        F.coalesce(F.sum(F.col("a") + F.col("b")), F.lit(0).cast("long")).alias(
+            "id_sum"
+        ),
     )
 
 

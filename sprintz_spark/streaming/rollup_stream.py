@@ -215,6 +215,7 @@ def stream_sessionize(
     ts_col: str = "ts",
     gap: str = "30 minutes",
     watermark: str = "2 hours",
+    with_bounds: bool = False,
 ) -> DataFrame:
     """Streaming sessionization via native session windows
     (F.session_window): per-key sessions close after ``gap`` of
@@ -231,17 +232,28 @@ def stream_sessionize(
 
     Scale: state per in-flight session per key, bounded by the watermark
     horizon — the same state bound HyperLogLog-free exact streaming
-    dedup above relies on; no per-row Python anywhere."""
+    dedup above relies on; no per-row Python anywhere.
+
+    ``with_bounds`` additionally emits first_ts/last_ts (the actual
+    event extremes — session_window's own end is last event + gap, so
+    dwell time needs the real bounds); the driver's stream_sessionize
+    oracle gate consumes this form."""
     w = F.session_window(F.col(ts_col), gap).alias("w")
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    extra = []
+    if with_bounds:
+        aggs += [F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")]
+        extra = ["first_ts", "last_ts"]
     return (
         events_stream.withWatermark(ts_col, watermark)
         .groupBy(F.col(key), w)
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(*aggs)
         .select(
             key,
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
+            *extra,
         )
     )
 
