@@ -292,3 +292,138 @@ def kmeans_ivf_topk(
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+# --- Product Quantization (Jegou et al., PAMI 2011 / FAISS IndexPQ) ---------
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train PQ codebooks: split the d-dim space into ``m`` subspaces and
+    run Lloyd k-means (``ksub`` centroids) independently in each, on the
+    same deterministic bounded sample discipline as kmeans_centroids
+    (FAISS practice — codebooks train on <= ``sample`` vectors driver-side;
+    the corpus-scale work is encode/search, which stay distributed).
+    Returns codebooks of shape (m, ksub, d//m) float64."""
+    rows = emb.orderBy(id_col).limit(sample).select(vec_col).collect()
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        kk = min(ksub, len(xs))
+        cents = xs[rng.choice(len(xs), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                sel = assign == c
+                if sel.any():
+                    cents[c] = xs[sel].mean(axis=0)
+        books[j, :kk] = cents
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``m`` uint8 centroid ids (one binary column —
+    a 64-dim float32 vector becomes 8 bytes, 32x smaller). Broadcast
+    codebooks inside an Arrow-batched pandas_udf; one vectorized argmin
+    per subspace per batch, no per-row Python."""
+    from pyspark.sql.types import BinaryType
+
+    books = codebooks
+    m, _ksub, dsub = books.shape
+
+    @F.pandas_udf(BinaryType())
+    def codes(vecs: pd.Series) -> pd.Series:
+        mtx = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((len(mtx), m), np.uint8)
+        for j in range(m):
+            xs = mtx[:, j * dsub : (j + 1) * dsub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.Series([r.tobytes() for r in out])
+
+    return emb.select(id_col, codes(F.col(vec_col)).alias("pq_code"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query a tiny
+    (m x ksub) table of subspace distances is precomputed driver-side
+    from the bounded query set and broadcast in the UDF closure; each
+    corpus row then costs m table lookups + a sum — no decode, no float
+    vectors in the scan. On unit-normalized embeddings the L2 ADC
+    ranking equals the cosine ranking (||a-b||^2 = 2 - 2cos), which is
+    what lets the recall gate compare against the cosine brute force.
+    Ties break on (distance asc, id asc) after a 1e-6 round, mirroring
+    knn_bruteforce's rounding discipline."""
+    from pyspark.sql.types import DoubleType
+
+    qrows = sorted(queries.select(q_id_col, q_vec_col).collect())
+    m, ksub, dsub = codebooks.shape
+    q_ids = [r[0] for r in qrows]
+    tabs = np.stack(
+        [
+            np.stack(
+                [
+                    (
+                        (codebooks[j] - np.asarray(r[1], np.float64)[
+                            j * dsub : (j + 1) * dsub
+                        ][None, :])
+                        ** 2
+                    ).sum(axis=1)
+                    for j in range(m)
+                ]
+            )
+            for r in qrows
+        ]
+    )  # (Q, m, ksub)
+    jj = np.arange(m)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def adc(codes: pd.Series) -> pd.Series:
+        cm = np.frombuffer(b"".join(codes), np.uint8).reshape(len(codes), m)
+        # dists[q, i] = sum_j tabs[q, j, cm[i, j]] — one fancy-index
+        # gather per batch: (1, m) x (n, m) index pair broadcasts to
+        # (Q, n, m), summed over subspaces
+        d = tabs[:, jj[None, :], cm].sum(axis=2)
+        return pd.Series([d[:, i].tolist() for i in range(cm.shape[0])])
+
+    qmap = F.array(*[F.lit(q) for q in q_ids])
+    scored = (
+        codes_df.select(id_col, F.posexplode(adc(F.col("pq_code"))))
+        .select(
+            qmap[F.col("pos")].alias(q_id_col),
+            id_col,
+            F.round(F.col("col"), 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

@@ -2120,6 +2120,46 @@ def q_ivf_topk(spark, sf_dir):
 # the IVF probe itself is not SQL-expressible; the gate pins what IS
 # invariant: exactly 10 exact neighbors per query and the deterministic
 # recall floor of the fixed-seed SRP probe
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jegou'11 / FAISS IndexPQ), recall-gated
+    like ivf_topk: codebooks train on the bounded deterministic sample
+    (m=16 subspaces x 256 centroids — a 64-dim float32 vector becomes 16
+    bytes), the corpus is PQ-encoded by an Arrow-batched UDF, and search
+    is asymmetric-distance (per-query m x 256 lookup table, no decode).
+    The ADC top-10 joins against the oracle-green cosine brute force and
+    the oracle pins n_exact = 10 and recall@10 >= 0.4 per query
+    (measured 0.5-0.9 across sf0.001/0.01/0.1 — >=1-neighbor margin, and
+    deterministic: fixed seed, fixed sample order, fixed tie-breaks).
+    At 100 TB the PQ scan reads 16 B/vector instead of 256 B and the
+    codebooks/tables are O(1) broadcast state."""
+    from sprintz_spark.operators.similarity import (
+        knn_bruteforce,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (
+        emb.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    queries_df = _cache(queries_df)
+    books = pq_train(emb, m=16, ksub=256)
+    approx = pq_topk(
+        pq_encode(emb, books), queries_df, books, k=10
+    ).select("q_id", "vec_id", F.lit(1).alias("hit"))
+    exact = knn_bruteforce(emb, queries_df, k=10).select("q_id", "vec_id")
+    return (
+        exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) >= 4).alias("recall_ge_40"),
+        )
+    )
+
+
 _IVF_RECALL_SQL = """
 SELECT CAST(q_id AS BIGINT) AS q_id, CAST(10 AS BIGINT) AS n_exact,
        true AS recall_ge_40
@@ -3795,6 +3835,7 @@ def _hand_order() -> dict:
         "ngram_jaccard_verified": q_ngram_jaccard_verified,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "hll_users": q_hll_users,
         "cms_user_counts": q_cms_user_counts,
         "bloom_purchasers": q_bloom_purchasers,
@@ -3898,6 +3939,7 @@ def oracles() -> dict:
         "audio_stats": _AUDIO_STATS_SQL,
         "text_extract_verified": _TEXT_EXTRACT_SQL,
         "ivf_topk": _IVF_RECALL_SQL,
+        "pq_topk": _IVF_RECALL_SQL,
         "hll_users": _hll_sql(),
         "cms_user_counts": _CMS_SQL,
         "bloom_purchasers": _BLOOM_SQL,
