@@ -325,12 +325,23 @@ def pq_train(
         kk = min(ksub, len(xs))
         cents = xs[rng.choice(len(xs), size=kk, replace=False)].copy()
         for _ in range(iters):
-            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # argmin of ||x-c||^2 == argmin of ||c||^2 - 2 x.c (the x^2
+            # term is row-constant): one matmul instead of an
+            # (n, ksub, dsub) broadcast temporary
+            d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (xs @ cents.T)
             assign = d2.argmin(axis=1)
-            for c in range(kk):
-                sel = assign == c
-                if sel.any():
-                    cents[c] = xs[sel].mean(axis=0)
+            # vectorized Lloyd update (bincount per dim) — the per-centroid
+            # mask loop cost ~1s across m*ksub*iters at ksub=256
+            counts = np.bincount(assign, minlength=kk).astype(np.float64)
+            sums = np.stack(
+                [
+                    np.bincount(assign, weights=xs[:, t], minlength=kk)
+                    for t in range(dsub)
+                ],
+                axis=1,
+            )
+            nonempty = counts > 0
+            cents[nonempty] = sums[nonempty] / counts[nonempty, None]
         books[j, :kk] = cents
     return books
 
@@ -356,7 +367,8 @@ def pq_encode(
         out = np.empty((len(mtx), m), np.uint8)
         for j in range(m):
             xs = mtx[:, j * dsub : (j + 1) * dsub]
-            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            # matmul expansion; the x^2 term is argmin-invariant
+            d2 = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (xs @ books[j].T)
             out[:, j] = d2.argmin(axis=1).astype(np.uint8)
         return pd.Series([r.tobytes() for r in out])
 
