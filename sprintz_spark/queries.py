@@ -299,6 +299,81 @@ FROM (SELECT DISTINCT md5(text) AS h FROM documents)
 """
 
 
+def q_stream_gap_alerts(spark, sf_dir):
+    """Streaming heartbeat/gap monitor under the driver's oracle gate
+    (fourth streaming gate): the events table replayed as TWO
+    time-ordered slices (split at the fixed mid-range date, mtime-ordered,
+    one micro-batch each) through the custom stateful operator
+    streaming.rollup_stream.stream_gap_alerts (applyInPandasWithState,
+    8-byte last-seen-timestamp state per user, NoTimeout) — every
+    event-time gap > 1 hour must be alerted, INCLUDING gaps that span
+    the micro-batch boundary, which only fire if the per-key state
+    genuinely carries across batches. The oracle is the batch lag-window
+    gap computation. The time-ordered split guarantees no row arrives
+    behind its user's stored last_ts, so the operator's late-drop rule
+    never engages and streamed alerts == batch gaps exactly.
+
+    State at scale: 8 bytes per key, period — the bounded-state property
+    that makes this operator run forever on an unbounded stream where a
+    windowed self-join would buffer history."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from sprintz_spark.streaming.rollup_stream import stream_gap_alerts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    base = tempfile.mkdtemp(prefix="stream_gap_alerts_")
+    src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
+    split = dt.datetime(2024, 1, 16)  # generator events span Jan 2024
+    ev.where(F.col("ts") < F.lit(split)).coalesce(1).write.mode("append").parquet(src)
+    before = {os.path.join(src, f) for f in os.listdir(src)}
+    ev.where(F.col("ts") >= F.lit(split)).coalesce(1).write.mode("append").parquet(
+        src
+    )
+    latest = max(os.path.getmtime(p) for p in before)
+    for f in os.listdir(src):
+        p = os.path.join(src, f)
+        if p not in before:
+            os.utime(p, (latest + 2, latest + 2))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    alerts = stream_gap_alerts(
+        stream, key_col="user_id", ts_col="ts", max_gap_seconds=3600
+    )
+    _run_finite_stream(spark, alerts, "stream_gap_alerts", out, chk)
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("gap_us_sum"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+_STREAM_GAP_ALERTS_SQL = """
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts)) AS gap_us
+  FROM events
+)
+SELECT user_id, count(*) AS n_gaps,
+       CAST(sum(gap_us) AS BIGINT) AS gap_us_sum,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM d WHERE gap_us > 3600 * 1000000::BIGINT
+GROUP BY user_id
+"""
+
+
 def q_rollup_1h_cascade(spark, sf_dir):
     # cascade from the 1m tier (bit-exact algebraic re-aggregation); the
     # oracle aggregates raw events directly — equality proves the cascade
@@ -3771,6 +3846,7 @@ def _hand_order() -> dict:
         "stream_rollup_1m": q_stream_rollup_1m,
         "stream_dedup_docs": q_stream_dedup_docs,
         "stream_sessionize": q_stream_sessionize,
+        "stream_gap_alerts": q_stream_gap_alerts,
         "gopher_repetition": q_gopher_repetition,
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc_1h": q_ohlc_1h,
@@ -3883,6 +3959,7 @@ def oracles() -> dict:
         "stream_rollup_1m": _ROLLUP_SQL.format(unit="minute", cents=_CENTS_SQL),
         "stream_dedup_docs": _STREAM_DEDUP_DOCS_SQL,
         "stream_sessionize": _STREAM_SESSIONIZE_SQL,
+        "stream_gap_alerts": _STREAM_GAP_ALERTS_SQL,
         "gopher_repetition": _GOPHER_REP_SQL,
         "time_weighted_avg": _TIME_WEIGHTED_SQL,
         "ohlc_1h": _OHLC_SQL,
