@@ -1994,7 +1994,11 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs, src="doc_a", dst="doc_b")
 
 
-_DEDUP_CLUSTERS_SQL = """
+# shared recursive-closure CTE over the all-pairs exact-Jaccard graph:
+# used by the dedup_clusters oracle and the cluster_representatives
+# oracle (ONE definition so the two gates can never diverge on what a
+# cluster is)
+_CLUSTERS_CTE = """
 WITH RECURSIVE w AS (
   SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
 ), g AS (
@@ -2014,13 +2018,90 @@ WITH RECURSIVE w AS (
   SELECT a, b FROM sym
   UNION
   SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+), cl AS (
+  SELECT d.doc_id,
+         CAST(LEAST(d.doc_id, COALESCE(MIN(r.r), d.doc_id)) AS BIGINT)
+           AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+  GROUP BY d.doc_id
 )
-SELECT d.doc_id,
-       CAST(LEAST(d.doc_id, COALESCE(MIN(r.r), d.doc_id)) AS BIGINT)
-         AS cluster_id
-FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
-GROUP BY d.doc_id
 """
+
+_DEDUP_CLUSTERS_SQL = _CLUSTERS_CTE + """
+SELECT doc_id, cluster_id FROM cl
+"""
+
+
+def q_cluster_representatives(spark, sf_dir):
+    """Near-dup cluster REPRESENTATIVE selection — the step after
+    clustering in a real curation pipeline: per transitive near-dup
+    cluster, keep the highest-quality member (ties to the lowest
+    doc_id). Composition of three oracle-green stages: the LSH→verify
+    pair set, connected-components clusters, and the bit-equal quality
+    score — the oracle recomputes ALL of it (recursive closure + the
+    quality formula) and arg-maxes with the same struct ordering, so
+    the gate covers the composition end to end.
+
+    Arg-max determinism: max(struct(q_micros, -doc_id)) — integer
+    quality micro-units, larger -doc_id == smaller doc_id on ties; the
+    named-struct max is lexicographic in BOTH engines (the window-free
+    arg-extreme pattern from ohlc_1h). Plan: the cluster subtree's keyed
+    shuffles + one Arrow quality pass + a cluster-keyed hash agg."""
+    from sprintz_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+    from sprintz_spark.operators.graph import dedup_clusters
+    from sprintz_spark.operators.text_ops import with_text_features
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        ngram_jaccard_verify(docs, minhash_lsh_pairs(docs, min_est_jaccard=0.3))
+        .where(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b")
+    )
+    clusters = dedup_clusters(docs, pairs, src="doc_a", dst="doc_b")
+    q = with_text_features(docs).select(
+        "doc_id",
+        F.round(F.col("quality") * 1e6, 0).cast("long").alias("q_micros"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("q_micros").alias("q"), (-F.col("doc_id")).alias("nid")
+        )
+    ).alias("b")
+    return (
+        clusters.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"), best)
+        .select(
+            "cluster_id",
+            (-F.col("b.nid")).alias("rep_doc_id"),
+            "n_members",
+            F.col("b.q").alias("rep_q_micros"),
+        )
+    )
+
+
+def _cluster_reps_sql() -> str:
+    per_doc_quality = _quality_agg_sql(
+        "SELECT doc_id AS dim, text FROM documents", "doc_id"
+    )
+    return (
+        _CLUSTERS_CTE
+        + f""",
+dq AS ({per_doc_quality}),
+j AS (
+  SELECT cl.cluster_id, cl.doc_id, dq.quality_micros AS q
+  FROM cl JOIN dq ON dq.doc_id = cl.doc_id
+)
+SELECT cluster_id,
+       CAST(-((max({{'q': q, 'nid': -doc_id}})).nid) AS BIGINT) AS rep_doc_id,
+       count(*) AS n_members,
+       CAST((max({{'q': q, 'nid': -doc_id}})).q AS BIGINT) AS rep_q_micros
+FROM j GROUP BY cluster_id
+"""
+    )
 
 
 def q_top_ngrams(spark, sf_dir):
@@ -3919,6 +4000,7 @@ def _hand_order() -> dict:
         "counter_rate": q_counter_rate,
         "zscore_anomalies": q_zscore_anomalies,
         "dedup_clusters": q_dedup_clusters,
+        "cluster_representatives": q_cluster_representatives,
         "top_ngrams": q_top_ngrams,
         "hash_split": q_hash_split,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -4024,6 +4106,7 @@ def oracles() -> dict:
         "counter_rate": _COUNTER_RATE_SQL,
         "zscore_anomalies": _ZSCORE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "cluster_representatives": _cluster_reps_sql(),
         "top_ngrams": _TOP_NGRAMS_SQL,
         "hash_split": _HASH_SPLIT_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,
