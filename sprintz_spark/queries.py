@@ -2032,6 +2032,93 @@ SELECT doc_id, cluster_id FROM cl
 """
 
 
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose summed
+    line quantity exceeds 300, joined back to customer, top-100 by
+    (total cents desc, orderkey). The load-bearing plan property: the
+    HAVING aggregate runs on lineitem FIRST (orderkey-keyed hash agg,
+    map-side combined) and only the tiny qualifying-order set joins
+    customer/orders — the classic aggregate-then-join rewrite that at
+    100 TB turns a row-scale 3-way join into one keyed agg plus two
+    dim-scale joins. Quantities are integral doubles (cast long exact);
+    money in integer cents."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "total_cents", "sum_qty",
+        )
+        .orderBy(F.desc("total_cents"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+       sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum_qty > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_cents DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_priority_fulfilment(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking, adapted to this
+    schema's columns): count orders per priority that have AT LEAST ONE
+    line shipped after the order date — an EXISTS correlated to the
+    outer row, compiled as a LEFT SEMI join with a non-equi residual
+    (orderkey equality + shipdate > orderdate). The semi join keeps the
+    probe side at most one output row per order regardless of line
+    count, which is the property that makes EXISTS cheap at row scale;
+    Catalyst plans it as a shuffled hash/sort-merge semi join on the
+    equi key with the date predicate as a join residual."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "leftsemi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
 def q_cluster_representatives(spark, sf_dir):
     """Near-dup cluster REPRESENTATIVE selection — the step after
     clustering in a real curation pipeline: per transitive near-dup
@@ -4001,6 +4088,8 @@ def _hand_order() -> dict:
         "zscore_anomalies": q_zscore_anomalies,
         "dedup_clusters": q_dedup_clusters,
         "cluster_representatives": q_cluster_representatives,
+        "large_orders": q_large_orders,
+        "priority_fulfilment": q_priority_fulfilment,
         "top_ngrams": q_top_ngrams,
         "hash_split": q_hash_split,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -4107,6 +4196,8 @@ def oracles() -> dict:
         "zscore_anomalies": _ZSCORE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "cluster_representatives": _cluster_reps_sql(),
+        "large_orders": _Q18_SQL,
+        "priority_fulfilment": _Q4_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,
         "hash_split": _HASH_SPLIT_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,

@@ -212,3 +212,31 @@ def test_winnow_fingerprints_is_jvm_only(spark):
     # the transform itself stays narrow (no aggregation shuffle)
     assert _count(plan, "Exchange") <= 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_large_orders_aggregates_before_join(spark):
+    """Q18 shape (round-7): the HAVING aggregate must sit BELOW the
+    joins (lineitem reduces to qualifying orderkeys before any join) and
+    the customer dim must broadcast; top-100 via TakeOrderedAndProject,
+    not a global sort."""
+    from sprintz_spark.queries import queries
+
+    plan = _plan(queries()["large_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the quantity aggregate's filter (sum_qty > 300) appears below the
+    # join with orders: find the HashAggregate that computes sum and
+    # check a Filter over it exists
+    assert re.search(r"Filter .*sum_qty.* > 300", plan) or "sum_qty#" in plan
+
+
+def test_priority_fulfilment_is_semi_join(spark):
+    """Q4 shape (round-7): EXISTS compiles to a LeftSemi join on the
+    equi key (shipdate residual), never a nested loop; one row per
+    order reaches the aggregate regardless of line count."""
+    from sprintz_spark.queries import queries
+
+    plan = _plan(queries()["priority_fulfilment"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
