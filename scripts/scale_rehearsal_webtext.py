@@ -66,10 +66,44 @@ def main() -> int:
         "quality_stats",
         "top_ngrams",
         "winnow_fingerprints",
+        # round-7 additions: the TF-ISF ladder and the capped
+        # inverted-index containment join (the df<=100 cap is the thing
+        # under test at 10x: exact-dup copies multiply shingle df ~6x,
+        # so boilerplate-like shingles start hitting the cap — recall
+        # falls back to the rarer shingles, wall stays join-bounded)
+        "distinctive_terms",
+        "containment_dups",
     ]
     out = {}
     qs = Q.queries()
     for name in names:
+        t0 = time.perf_counter()
+        n_small = qs[name](spark, base_dir).count()
+        t_small = time.perf_counter() - t0
+        Q.release_query_caches()
+        t0 = time.perf_counter()
+        n_big = qs[name](spark, big_dir).count()
+        t_big = time.perf_counter() - t0
+        Q.release_query_caches()
+        out[name] = {
+            "rows_1x": n_small,
+            "rows_10x": n_big,
+            "secs_1x": round(t_small, 1),
+            "secs_10x": round(t_big, 1),
+            "wall_growth": round(t_big / t_small, 1),
+        }
+    # --- embeddings at 10x: PQ encode+ADC search (round-7) -------------
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    ne = emb.agg(F.max("vec_id")).first()[0] + 1
+    if not os.path.exists(f"{big_dir}/embeddings.parquet/_SUCCESS"):
+        copies = spark.range(10).select(F.col("id").alias("k"))
+        bige = emb.crossJoin(copies).select(
+            (F.col("vec_id") + F.col("k") * ne).alias("vec_id"), "embedding"
+        )
+        bige.repartition(16).write.mode("overwrite").parquet(
+            f"{big_dir}/embeddings.parquet"
+        )
+    for name in ("pq_topk", "ivf_topk"):
         t0 = time.perf_counter()
         n_small = qs[name](spark, base_dir).count()
         t_small = time.perf_counter() - t0
