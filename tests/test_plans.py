@@ -225,10 +225,20 @@ def test_large_orders_aggregates_before_join(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the quantity aggregate's filter (sum_qty > 300) appears below the
-    # join with orders: find the HashAggregate that computes sum and
-    # check a Filter over it exists
-    assert re.search(r"Filter .*sum_qty.* > 300", plan) or "sum_qty#" in plan
+    # positional check: the sum_qty > 300 Filter must sit BELOW every
+    # join (children print after parents in the plan tree) and directly
+    # on the HashAggregate that computes it — i.e. lineitem reduces to
+    # qualifying orderkeys before anything joins
+    lines = plan.splitlines()
+    join_idx = [i for i, l in enumerate(lines) if "BroadcastHashJoin" in l]
+    filt_idx = [
+        i for i, l in enumerate(lines)
+        if "Filter" in l and "sum_qty" in l and "> 300" in l
+    ]
+    assert filt_idx, "sum_qty > 300 filter missing from the executed plan"
+    assert filt_idx[0] > max(join_idx), "HAVING filter must be below the joins"
+    below = "\n".join(lines[filt_idx[0] + 1 : filt_idx[0] + 3])
+    assert "HashAggregate" in below, "filter must sit directly on the aggregate"
 
 
 def test_priority_fulfilment_is_semi_join(spark):

@@ -120,3 +120,27 @@ def test_pq_adc_matches_numpy_and_beats_random(spark):
     exact = {r["vec_id"] for r in knn_bruteforce(emb, q, k=10).collect()}
     recall = len(exact & set(rows)) / 10
     assert recall >= 0.7, recall  # clusters are tight; random would be ~0.025
+
+
+def test_pq_guards_and_small_sample(spark):
+    """Round-7 review fixes: ksub > 256 must raise (codes are single
+    bytes), and a sample smaller than ksub must size the codebooks to
+    what was trained — zero-filled phantom rows would win argmin for
+    small-norm subvectors and encode to untrained centroids."""
+    import numpy as np
+    import pytest
+
+    from sprintz_spark.operators.similarity import pq_encode, pq_train
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(40, 16))
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ksub"):
+        pq_train(emb, m=4, ksub=512)
+    books = pq_train(emb, m=4, ksub=256)  # only 40 sample vectors
+    assert books.shape == (4, 40, 4)
+    codes = pq_encode(emb, books).collect()
+    assert all(max(r["pq_code"]) < 40 for r in codes)
