@@ -2137,6 +2137,82 @@ GROUP BY o_orderpriority
 """
 
 
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item customer report): revenue lost to
+    'R'-flagged lines per customer, joined to nation, top-20. The
+    returnflag filter pushes into the lineitem scan (PushedFilters),
+    customer/nation are broadcast dims, and the revenue aggregate is
+    orderkey→custkey-keyed with map-side combine; top-20 via
+    TakeOrderedAndProject. Money in integer micro-units as in the other
+    TPC-H gates."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", _revenue_micro().alias("rev"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("revenue_micro"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue_micro")
+        .orderBy(F.desc("revenue_micro"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+                * CAST(ROUND((1-l_discount)*100,0) AS BIGINT)) AS BIGINT)
+         AS revenue_micro
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_micro DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape (conditional classification agg): per return
+    flag, how many lines belong to HIGH-priority orders vs not — the
+    two-way CASE-sum over one fact/dim join that every BI layer emits.
+    One equi-join (orders projected to 2 columns) and one tiny-key hash
+    agg; counts are exact integers."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_high"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("is_high").cast("long")).alias("high_line_count"),
+            F.sum((~F.col("is_high")).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
 def q_cluster_representatives(spark, sf_dir):
     """Near-dup cluster REPRESENTATIVE selection — the step after
     clustering in a real curation pipeline: per transitive near-dup
@@ -4098,6 +4174,8 @@ def _hand_order() -> dict:
         "cluster_representatives": q_cluster_representatives,
         "large_orders": q_large_orders,
         "priority_fulfilment": q_priority_fulfilment,
+        "returned_items": q_returned_items,
+        "shipmode_priority": q_shipmode_priority,
         "top_ngrams": q_top_ngrams,
         "hash_split": q_hash_split,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -4206,6 +4284,8 @@ def oracles() -> dict:
         "cluster_representatives": _cluster_reps_sql(),
         "large_orders": _Q18_SQL,
         "priority_fulfilment": _Q4_SQL,
+        "returned_items": _Q10_SQL,
+        "shipmode_priority": _Q12_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,
         "hash_split": _HASH_SPLIT_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,
