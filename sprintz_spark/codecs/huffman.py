@@ -195,7 +195,14 @@ def _read_uvarints_vec(buf: memoryview, pos: int, count: int) -> tuple[np.ndarra
     starts = np.empty(count, np.int64)
     starts[0] = 0
     starts[1:] = term[:-1] + 1
-    within = np.arange(end, dtype=np.int64) - np.repeat(starts, term - starts + 1)
+    widths = term - starts + 1
+    if int(widths.max()) > 9:
+        # 9 bytes carry 63 payload bits — the int64 ceiling. A 10-byte
+        # varint (value >= 2^63, or a corrupt header's continuation run)
+        # would left-shift past bit 63 and silently wrap negative below;
+        # fail loudly like the truncated-varint path instead.
+        raise ValueError("varint overflows int64 in block header")
+    within = np.arange(end, dtype=np.int64) - np.repeat(starts, widths)
     vals7 = (arr & np.uint8(0x7F)).astype(np.int64) << (7 * within)
     return np.add.reduceat(vals7, starts), pos + end
 

@@ -212,6 +212,8 @@ def kmeans_centroids(
     rows = (
         emb.orderBy(id_col).limit(sample).select(vec_col).collect()
     )
+    if not rows:
+        raise ValueError("kmeans_centroids: empty embedding sample")
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
@@ -317,6 +319,8 @@ def pq_train(
         # a larger codebook would silently truncate ids mod 256
         raise ValueError(f"ksub must be in [1, 256], got {ksub}")
     rows = emb.orderBy(id_col).limit(sample).select(vec_col).collect()
+    if not rows:
+        raise ValueError("pq_train: empty embedding sample")
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     d = x.shape[1]
     if d % m:
@@ -370,6 +374,8 @@ def pq_encode(
 
     @F.pandas_udf(BinaryType())
     def codes(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
         mtx = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         out = np.empty((len(mtx), m), np.uint8)
         for j in range(m):

@@ -3295,12 +3295,16 @@ def q_hourly_profile(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         F.hour("ts").cast("long").alias("hour_of_day"),
         "user_id",
+        _cents().alias("c"),
         (_cents() * 2).alias("c2"),
     )
+    # cents_sum is a direct integer sum (the 2x trick stays on the median
+    # only): sum(c2)/2 is a double division that loses exactness once a
+    # per-hour sum passes 2^53 — real at the 100TB scale this targets
     return ev.groupBy("hour_of_day").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        (F.sum("c2") / 2).cast("long").alias("cents_sum"),
+        F.sum("c").alias("cents_sum"),
         F.median("c2").cast("long").alias("med2_cents"),
     )
 
@@ -3309,7 +3313,7 @@ _HOURLY_PROFILE_SQL = f"""
 SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       CAST(sum(2 * {_CENTS_SQL}) / 2 AS BIGINT) AS cents_sum,
+       CAST(sum({_CENTS_SQL}) AS BIGINT) AS cents_sum,
        CAST(median(2 * {_CENTS_SQL}) AS BIGINT) AS med2_cents
 FROM events GROUP BY 1
 """

@@ -168,3 +168,22 @@ def test_uvarints_vec_matches_scalar():
 
     with pytest.raises(ValueError):
         _read_uvarints_vec(memoryview(b"\x80\x80"), 0, 1)
+
+
+def test_uvarints_vec_overflow_raises():
+    """Round-8 (ADVICE): a 10-byte varint (value >= 2^63, or a corrupt
+    header's long continuation run) must raise, not silently wrap the
+    int64 shift negative and cumsum garbage block offsets."""
+    import pytest
+
+    from sprintz_spark.codecs.huffman import _read_uvarints_vec, _uvarint
+
+    blob = _uvarint(2**63)  # 10 bytes
+    assert len(blob) == 10
+    with pytest.raises(ValueError, match="overflows int64"):
+        _read_uvarints_vec(memoryview(blob), 0, 1)
+    # 9 bytes (63 payload bits) is the legal ceiling and still decodes
+    ok = _uvarint(2**63 - 1)
+    assert len(ok) == 9
+    got, end = _read_uvarints_vec(memoryview(ok), 0, 1)
+    assert int(got[0]) == 2**63 - 1 and end == 9
