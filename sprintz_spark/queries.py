@@ -402,6 +402,59 @@ GROUP BY user_id
 """
 
 
+def q_stream_m4(spark, sf_dir):
+    """Streaming M4 downsampling under the driver's oracle gate (round-7
+    verdict item 2 — the last streaming operator without a CORRECTNESS
+    row): the events table plus one far-future sentinel consumed in a
+    SINGLE availableNow micro-batch (the stream_rollup_1m recipe; the
+    automatic no-data flush batch emits every finalized window) through
+    streaming.rollup_stream.stream_m4 — per (user, 1h tumbling window)
+    min/max/first/last where first/last follow the (ts, event_id) total
+    order via min_by/max_by on a struct. All four are algebraic
+    aggregates, so streaming state is ONE row per open (key, window)
+    inside the watermark horizon — bounded by horizon x ingest rate.
+    The oracle is the same DuckDB arg_min/arg_max SQL that gates the
+    batch m4_downsample: streamed pixels == batch derivation, bit for
+    bit. Multi-batch replay (cross-batch window state) stays covered by
+    tests/test_streaming.py."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from sprintz_spark.streaming.rollup_stream import stream_m4
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        _cents().alias("cents"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_m4_")
+    src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
+    ev.coalesce(1).write.mode("append").parquet(src)
+    sentinel = spark.createDataFrame(
+        [(-1, dt.datetime(2099, 1, 1), 0, 0)], schema=ev.schema
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    pixels = stream_m4(
+        stream,
+        key="user_id",
+        ts_col="ts",
+        val_col="cents",
+        order_col="event_id",
+        window="1 hour",
+        watermark="1 minute",
+    )
+    _run_finite_stream(spark, pixels, "stream_m4", out, chk)
+    return spark.read.parquet(out).where(F.col("user_id") >= 0)
+
+
+# oracle: _M4_SQL verbatim — streamed epoch-aligned 1h tumbling windows
+# are exactly date_trunc('hour') buckets, so the batch m4 oracle gates
+# the streamed pixels too (registered under "stream_m4" below)
+
+
 def q_rollup_1h_cascade(spark, sf_dir):
     # cascade from the 1m tier (bit-exact algebraic re-aggregation); the
     # oracle aggregates raw events directly — equality proves the cascade
@@ -446,6 +499,131 @@ SELECT user_id, date_trunc('{unit}', ts) AS bucket,
        max({cents}) AS cents_max,
        min({cents}) AS cents_min
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_retention_lifecycle(spark, sf_dir):
+    """Full tier-store lifecycle under the driver's oracle gate (round-7
+    verdict item 4 — the manifest/lineage machinery, the north-star's
+    core claim, was pytest-only): events reshaped into the pages schema
+    (url from user_id, warc_ts from ts, html with a DuckDB-recomputable
+    byte length), ingested as TWO snapshots split at a day boundary via
+    plans.retention.run_retention (encode to sprintz containers, manifest
+    rows, resume bookkeeping), compacted into one re-chunked snapshot
+    (plans/retention.py:251 — newest-wins merge, lineage.json), then the
+    1m tier TTL-expired at a 7-day cutoff (plans/retention.py:411 —
+    chunk-granular staged-swap rewrite). The store is then read BACK
+    through read_tier_decoded (full sprintz decode of the surviving
+    chunks) and must hash-equal DuckDB's direct rollup of the raw events:
+    1m filtered to the retained window (expiry is conservative — a chunk
+    straddling the cutoff survives whole, so equality is asserted on
+    buckets >= cutoff; that the drop physically happened is asserted on
+    the expiry report), 1h and 1d in full. chunk_rows=8 (ingest) / 24 (compact) force real
+    fragmentation so compaction merges multiple chunks per series and
+    expiry has whole chunks to drop. Crash-window idempotence stays
+    fault-injection-covered in tests/test_retention.py."""
+    import datetime as dt
+    import tempfile
+
+    from sprintz_spark.plans import retention as RT
+
+    pages = _t(spark, sf_dir, "events").select(
+        # user_id % 10 -> 10 urls: each series is long enough at EVERY
+        # tested SF that chunking/compaction/expiry all have real work
+        F.concat(
+            F.lit("https://u"), F.col("user_id") % 10, F.lit(".example/")
+        ).alias("url"),
+        F.col("ts").cast("timestamp").alias("warc_ts"),
+        F.expr(
+            "cast(repeat('x', cast(abs(cast(round(value*100, 0) as bigint)) % 997"
+            " as int)) as binary)"
+        ).alias("html"),
+    )
+    split = dt.datetime(2024, 1, 16)  # day boundary: disjoint buckets per tier
+    cutoff = dt.datetime(2024, 1, 15)
+    out = tempfile.mkdtemp(prefix="retention_lifecycle_")
+    # per-series chunk format (container_tiers=()): containers never split
+    # a series, so their chunks span the series\' whole time range and TTL
+    # has nothing whole to drop — row-sliced per-series chunks are the
+    # format a TTL-tiered store keeps its finest tier in
+    RT.run_retention(
+        pages.where(F.col("warc_ts") < F.lit(split)),
+        out,
+        snapshot_id="s1",
+        n_buckets=4,
+        chunk_rows=8,
+        container_tiers=(),
+    )
+    RT.run_retention(
+        pages.where(F.col("warc_ts") >= F.lit(split)),
+        out,
+        snapshot_id="s2",
+        n_buckets=4,
+        chunk_rows=8,
+        container_tiers=(),
+    )
+    # TTL-expire the finest tier of the OLD snapshot before compaction
+    # (the real lifecycle order: expiry trims history, compaction then
+    # merges the survivors into one re-chunked snapshot)
+    exp = RT.expire_tier(spark, out, "s1", "1m", older_than=cutoff)
+    if exp["chunks_dropped"] <= 0:
+        raise AssertionError(
+            "retention_lifecycle: expiry dropped no chunks — the TTL path "
+            "was not exercised"
+        )
+    comp = RT.compact_tiers(spark, out, ["s1", "s2"], "c1", n_buckets=4)
+    for tier in ("1m", "1h", "1d"):
+        if comp[tier]["dst_chunks"] >= comp[tier]["src_chunks"]:
+            raise AssertionError(
+                f"retention_lifecycle: compaction did not merge {tier} chunks "
+                f"({comp[tier]['src_chunks']} -> {comp[tier]['dst_chunks']})"
+            )
+    cols = ["url", "bucket", *RT.MEASURES]
+    t1m = (
+        RT.read_tier_decoded(spark, out, "c1", "1m")
+        .where(F.col("bucket") >= F.lit(cutoff))
+        .select(F.lit("1m").alias("tier"), *cols)
+    )
+    t1h = RT.read_tier_decoded(spark, out, "c1", "1h").select(
+        F.lit("1h").alias("tier"), *cols
+    )
+    t1d = RT.read_tier_decoded(spark, out, "c1", "1d").select(
+        F.lit("1d").alias("tier"), *cols
+    )
+    return t1m.unionByName(t1h).unionByName(t1d)
+
+
+_RETENTION_LIFECYCLE_SQL = """
+WITH pages AS (
+  SELECT 'https://u' || (user_id % 10) || '.example/' AS url,
+         ts AS warc_ts,
+         abs(CAST(ROUND(value*100, 0) AS BIGINT)) % 997 AS nbytes
+  FROM events
+), m AS (
+  SELECT url, date_trunc('minute', warc_ts) AS bucket,
+         count(*) AS crawl_count,
+         CAST(sum(nbytes) AS BIGINT) AS byte_size_sum,
+         max(nbytes) AS byte_size_max,
+         min(nbytes) AS byte_size_min
+  FROM pages GROUP BY 1, 2
+), h AS (
+  SELECT url, date_trunc('hour', bucket) AS bucket,
+         CAST(sum(crawl_count) AS BIGINT) AS crawl_count,
+         CAST(sum(byte_size_sum) AS BIGINT) AS byte_size_sum,
+         max(byte_size_max) AS byte_size_max,
+         min(byte_size_min) AS byte_size_min
+  FROM m GROUP BY 1, 2
+), d AS (
+  SELECT url, date_trunc('day', bucket) AS bucket,
+         CAST(sum(crawl_count) AS BIGINT) AS crawl_count,
+         CAST(sum(byte_size_sum) AS BIGINT) AS byte_size_sum,
+         max(byte_size_max) AS byte_size_max,
+         min(byte_size_min) AS byte_size_min
+  FROM h GROUP BY 1, 2
+)
+SELECT '1m' AS tier, * FROM m WHERE bucket >= TIMESTAMP '2024-01-15'
+UNION ALL SELECT '1h' AS tier, * FROM h
+UNION ALL SELECT '1d' AS tier, * FROM d
 """
 
 
@@ -4103,6 +4281,8 @@ def _hand_order() -> dict:
         "stream_dedup_docs": q_stream_dedup_docs,
         "stream_sessionize": q_stream_sessionize,
         "stream_gap_alerts": q_stream_gap_alerts,
+        "stream_m4": q_stream_m4,
+        "retention_lifecycle": q_retention_lifecycle,
         "gopher_repetition": q_gopher_repetition,
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc_1h": q_ohlc_1h,
@@ -4221,6 +4401,8 @@ def oracles() -> dict:
         "stream_dedup_docs": _STREAM_DEDUP_DOCS_SQL,
         "stream_sessionize": _STREAM_SESSIONIZE_SQL,
         "stream_gap_alerts": _STREAM_GAP_ALERTS_SQL,
+        "stream_m4": _M4_SQL,
+        "retention_lifecycle": _RETENTION_LIFECYCLE_SQL,
         "gopher_repetition": _GOPHER_REP_SQL,
         "time_weighted_avg": _TIME_WEIGHTED_SQL,
         "ohlc_1h": _OHLC_SQL,
