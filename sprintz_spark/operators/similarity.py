@@ -322,6 +322,14 @@ def pq_train(
     if not rows:
         raise ValueError("pq_train: empty embedding sample")
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return _pq_lloyd_books(x, m, ksub, iters, seed)
+
+
+def _pq_lloyd_books(
+    x: np.ndarray, m: int, ksub: int, iters: int, seed: int
+) -> np.ndarray:
+    """Subspace Lloyd k-means on a training matrix (shared by pq_train
+    and ivfpq_train, which trains on coarse-cell residuals)."""
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -452,3 +460,160 @@ def pq_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+# --- IVF-PQ (FAISS IndexIVFPQ: coarse quantizer + PQ on residuals) ----------
+
+def ivfpq_train(
+    emb: DataFrame,
+    k_coarse: int = 8,
+    m: int = 16,
+    ksub: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    coarse_iters: int = 8,
+    pq_iters: int = 8,
+    seed: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the IndexIVFPQ pair on ONE bounded deterministic sample:
+    Lloyd coarse centroids, then PQ codebooks on the sample's residuals
+    to its nearest coarse centroid (FAISS trains PQ on residuals, not
+    raw vectors — residual energy is what's left after the coarse
+    quantizer, so the same code budget quantizes much finer). Returns
+    (centroids (k, d), codebooks (m, ksub, d//m))."""
+    if not 1 <= ksub <= 256:
+        raise ValueError(f"ksub must be in [1, 256], got {ksub}")
+    rows = emb.orderBy(id_col).limit(sample).select(vec_col).collect()
+    if not rows:
+        raise ValueError("ivfpq_train: empty embedding sample")
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(k_coarse, len(x)), replace=False)].copy()
+    for _ in range(coarse_iters):
+        d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            sel = assign == c
+            if sel.any():
+                cents[c] = x[sel].mean(axis=0)
+    d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
+    resid = x - cents[d2.argmin(axis=1)]
+    books = _pq_lloyd_books(resid, m, ksub, pq_iters, seed)
+    return cents, books
+
+
+def ivfpq_index(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index the corpus: (id, cell, pq_code) — nearest coarse cell plus
+    the PQ code of the residual to that cell's centroid, in ONE
+    Arrow-batched UDF (cell assignment and residual encode share the
+    decoded float batch; nothing is materialized twice). At 100 TB the
+    index is 4 + m bytes per vector and the scan never touches floats."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    cents, books = centroids, codebooks
+    m, _ksub, dsub = books.shape
+    out_t = StructType(
+        [StructField("cell", IntegerType()), StructField("pq_code", BinaryType())]
+    )
+
+    @F.pandas_udf(out_t)
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        if vecs.empty:
+            return pd.DataFrame({"cell": [], "pq_code": []})
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
+        cell = d2.argmin(axis=1)
+        resid = x - cents[cell]
+        codes = np.empty((len(x), m), np.uint8)
+        for j in range(m):
+            rs = resid[:, j * dsub : (j + 1) * dsub]
+            dj = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (rs @ books[j].T)
+            codes[:, j] = dj.argmin(axis=1).astype(np.uint8)
+        return pd.DataFrame(
+            {"cell": cell.astype(np.int32), "pq_code": [r.tobytes() for r in codes]}
+        )
+
+    s = enc(F.col(vec_col)).alias("_ivfpq")
+    return emb.select(id_col, s.getField("cell").alias("cell"),
+                      s.getField("pq_code").alias("pq_code"))
+
+
+def ivfpq_topk(
+    indexed: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IndexIVFPQ search: each query probes its ``nprobe`` nearest coarse
+    cells; within a probed cell the ADC table is built against
+    (q - centroid[cell]) — the residual the codes were trained on — so
+    distance is ||(q - c) - pq_recon||^2. Per (query, probed cell) the
+    table is m x ksub doubles, precomputed driver-side from the bounded
+    query set and broadcast in the UDF closure (Q x nprobe x m x ksub —
+    O(1) state); the scan is an equi-join on cell (only ~nprobe/k_coarse
+    of the corpus is read) followed by m uint8 table lookups per row.
+    Ties break (adc_dist asc, id asc) after a 1e-6 round, the shared
+    discipline of every ANN path here."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cents, books = centroids, codebooks
+    m, ksub, dsub = books.shape
+    qrows = sorted(queries.select(q_id_col, q_vec_col).collect())
+    if not qrows:
+        raise ValueError("ivfpq_topk: empty query set")
+    nprobe = min(nprobe, len(cents))
+    pairs = []  # (q_id, cell) in probe order
+    tabs = np.empty((len(qrows) * nprobe, m, ksub))
+    for qi, r in enumerate(qrows):
+        qv = np.asarray(r[1], np.float64)
+        d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
+        for pi, c in enumerate(np.argsort(d2)[:nprobe]):
+            p = qi * nprobe + pi
+            resid = qv - cents[c]
+            for j in range(m):
+                tabs[p, j] = (
+                    (books[j] - resid[j * dsub : (j + 1) * dsub][None, :]) ** 2
+                ).sum(axis=1)
+            pairs.append((r[0], int(c), p))
+    spark = indexed.sparkSession
+    probe_df = spark.createDataFrame(
+        pairs,
+        StructType(
+            [
+                StructField(q_id_col, LongType()),
+                StructField("cell", IntegerType()),
+                StructField("_pidx", IntegerType()),
+            ]
+        ),
+    )
+    cand = indexed.join(F.broadcast(probe_df), on="cell")
+    jj = np.arange(m)
+
+    @F.pandas_udf(DoubleType())
+    def adc(codes: pd.Series, pidx: pd.Series) -> pd.Series:
+        if codes.empty:
+            return pd.Series([], dtype=np.float64)
+        cm = np.frombuffer(b"".join(codes), np.uint8).reshape(len(codes), m)
+        p = pidx.to_numpy(np.int64)
+        # per-row gather from that row's own (query, cell) table
+        return pd.Series(tabs[p[:, None], jj[None, :], cm].sum(axis=1))
+
+    scored = cand.select(
+        q_id_col,
+        id_col,
+        F.round(adc(F.col("pq_code"), F.col("_pidx")), 6).alias("adc_dist"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

