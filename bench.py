@@ -246,6 +246,15 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "cpus": int(cpus),
+        # PLANS.md §10: per-query times are order-dependent for (a) the
+        # shared _staged_clusters subtree (its ~3-4 s lands on whichever
+        # of dedup_clusters / cluster_representatives runs first) and
+        # (b) first execution of a plan shape in the session (~1-2 s
+        # Janino codegen). Read per-query deltas vs the prior round
+        # against the rotation order, not as regressions.
+        "bench_order_note": "per-query times order-dependent: "
+        "shared-stage (dedup_clusters/cluster_representatives) and "
+        "first-shape codegen ride rotation order — see PLANS.md §10",
         **extra,
     }
     # Parse-proofing, round 3 of: the driver records only the LAST 2000

@@ -111,6 +111,52 @@ def main() -> int:
         )
     for name in ("pq_topk", "ivf_topk"):
         _time_pair(name)
+
+    # --- 10x KEYS variant (round-8, verdict item 7): the copy corpus
+    # above multiplies every shingle's df ~6x (sum(df^2) rises much
+    # faster than token mass — the cap stress test). The open question
+    # for the inverted-index family is the OTHER axis: 10x DISTINCT
+    # keys at unchanged per-key df, i.e. a genuinely larger vocabulary,
+    # which is what a larger real corpus mostly does. Prefixing every
+    # word with its copy id makes all shingles distinct across copies:
+    # 10x shingle/bigram keys, per-key df identical to 1x, so candidate
+    # volume sum(df^2) grows linearly and wall should stay ~linear
+    # (<= ~2x on underfilled cores).
+    keys_dir = "/tmp/webtext_rehearsal_keys10x"
+    if not os.path.exists(f"{keys_dir}/documents.parquet/_SUCCESS"):
+        copies = spark.range(10).select(F.col("id").alias("k"))
+        bigk = docs.crossJoin(copies).select(
+            (F.col("doc_id") + F.col("k") * n).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("c"), F.col("k").cast("string"), F.lit("$1")),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        bigk.repartition(64).write.mode("overwrite").parquet(
+            f"{keys_dir}/documents.parquet"
+        )
+    for name in ("distinctive_terms", "containment_dups"):
+        t0 = time.perf_counter()
+        n_small = qs[name](spark, base_dir).count()
+        t_small = time.perf_counter() - t0
+        Q.release_query_caches()
+        Q.release_shared_stages()
+        t0 = time.perf_counter()
+        n_big = qs[name](spark, keys_dir).count()
+        t_big = time.perf_counter() - t0
+        Q.release_query_caches()
+        Q.release_shared_stages()
+        out[f"{name}_keys10x"] = {
+            "rows_1x": n_small,
+            "rows_10x_keys": n_big,
+            "secs_1x": round(t_small, 1),
+            "secs_10x_keys": round(t_big, 1),
+            "wall_growth": round(t_big / t_small, 1),
+        }
     print(json.dumps(out))
     return 0
 
