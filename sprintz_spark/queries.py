@@ -508,19 +508,25 @@ def q_retention_lifecycle(spark, sf_dir):
     core claim, was pytest-only): events reshaped into the pages schema
     (url from user_id, warc_ts from ts, html with a DuckDB-recomputable
     byte length), ingested as TWO snapshots split at a day boundary via
-    plans.retention.run_retention (encode to sprintz containers, manifest
-    rows, resume bookkeeping), compacted into one re-chunked snapshot
-    (plans/retention.py:251 — newest-wins merge, lineage.json), then the
-    1m tier TTL-expired at a 7-day cutoff (plans/retention.py:411 —
-    chunk-granular staged-swap rewrite). The store is then read BACK
-    through read_tier_decoded (full sprintz decode of the surviving
-    chunks) and must hash-equal DuckDB's direct rollup of the raw events:
-    1m filtered to the retained window (expiry is conservative — a chunk
-    straddling the cutoff survives whole, so equality is asserted on
-    buckets >= cutoff; that the drop physically happened is asserted on
-    the expiry report), 1h and 1d in full. chunk_rows=8 (ingest) / 24 (compact) force real
-    fragmentation so compaction merges multiple chunks per series and
-    expiry has whole chunks to drop. Crash-window idempotence stays
+    plans.retention.run_retention in per-series chunk format
+    (container_tiers=(): containers never split a series, so their
+    chunks span the series' whole range and TTL would have nothing
+    whole to drop — row-sliced chunks are the format a TTL-tiered store
+    keeps its finest tier in), then the OLD snapshot's 1m tier
+    TTL-expired at the mid-month cutoff (plans/retention.py:411 —
+    chunk-granular staged-swap rewrite; the real lifecycle order:
+    expiry trims history, compaction merges the survivors), then both
+    snapshots compacted into one re-chunked container snapshot
+    (plans/retention.py:251 — newest-wins merge, lineage.json). The
+    store is then read BACK through read_tier_decoded (full sprintz
+    decode of the surviving chunks) and must hash-equal DuckDB's direct
+    rollup of the raw events: 1m filtered to the retained window
+    (expiry is conservative — a chunk straddling the cutoff survives
+    whole, so equality is asserted on buckets >= cutoff; that the drop
+    physically happened is asserted on the expiry report), 1h and 1d in
+    full. chunk_rows=8 at ingest forces real fragmentation so
+    compaction merges multiple chunks per series (asserted) and expiry
+    has whole chunks to drop (asserted). Crash-window idempotence stays
     fault-injection-covered in tests/test_retention.py."""
     import datetime as dt
     import tempfile
