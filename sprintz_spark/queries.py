@@ -524,7 +524,8 @@ def q_retention_lifecycle(spark, sf_dir):
     (expiry is conservative — a chunk straddling the cutoff survives
     whole, so equality is asserted on buckets >= cutoff; that the drop
     physically happened is asserted on the expiry report), 1h and 1d in
-    full. chunk_rows=8 at ingest forces real fragmentation so
+    full. Scale-adaptive chunk_rows (~1200 chunks at any SF, floor 8)
+    at ingest forces real fragmentation so
     compaction merges multiple chunks per series (asserted) and expiry
     has whole chunks to drop (asserted). Crash-window idempotence stays
     fault-injection-covered in tests/test_retention.py."""
@@ -548,6 +549,12 @@ def q_retention_lifecycle(spark, sf_dir):
     split = dt.datetime(2024, 1, 16)  # day boundary: disjoint buckets per tier
     cutoff = dt.datetime(2024, 1, 15)
     out = tempfile.mkdtemp(prefix="retention_lifecycle_")
+    # scale-adaptive chunking: ~1200 chunks at any SF (a real store sizes
+    # chunk_rows to target chunk bytes, not a constant row count). Floor 8
+    # keeps the sf0.001 series fragmented enough that expiry has whole
+    # chunks to drop and compaction has fragments to merge; at sf0.1 this
+    # is ~80 rows/chunk instead of 5.6k eight-row chunks (3x wall).
+    chunk_rows = max(8, _t(spark, sf_dir, "events").count() // 1200)
     # per-series chunk format (container_tiers=()): containers never split
     # a series, so their chunks span the series\' whole time range and TTL
     # has nothing whole to drop — row-sliced per-series chunks are the
@@ -557,7 +564,7 @@ def q_retention_lifecycle(spark, sf_dir):
         out,
         snapshot_id="s1",
         n_buckets=4,
-        chunk_rows=8,
+        chunk_rows=chunk_rows,
         container_tiers=(),
     )
     RT.run_retention(
@@ -565,7 +572,7 @@ def q_retention_lifecycle(spark, sf_dir):
         out,
         snapshot_id="s2",
         n_buckets=4,
-        chunk_rows=8,
+        chunk_rows=chunk_rows,
         container_tiers=(),
     )
     # TTL-expire the finest tier of the OLD snapshot before compaction
