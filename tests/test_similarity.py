@@ -221,3 +221,51 @@ def test_ivfpq_empty_guards(spark):
             np.zeros((4, 8)),
             np.zeros((2, 4, 4)),
         )
+
+
+def test_ivfpq_refined_rerank_is_exact_on_shortlist(spark):
+    """Two-stage retrieval: the refined top-k must equal brute force
+    restricted to the ADC shortlist (exact cosine on shortlist ids), and
+    on the planted-cluster corpus refinement must not lose recall vs the
+    raw ADC ranking."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sprintz_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+        ivfpq_topk_refined,
+        ivfpq_train,
+        knn_bruteforce,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(40, 32))
+    X = np.repeat(base, 10, axis=0) + rng.normal(scale=0.05, size=(400, 32))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents, books = ivfpq_train(emb, k_coarse=4, m=8, ksub=16, sample=400)
+    idx = ivfpq_index(emb, cents, books)
+    short_ids = {
+        r["vec_id"]
+        for r in ivfpq_topk(idx, q, cents, books, k=30, nprobe=3).collect()
+    }
+    got = ivfpq_topk_refined(
+        idx, emb, q, cents, books, k=10, nprobe=3, shortlist=30
+    ).collect()
+    # refined ranks by exact cosine: recompute on the shortlist
+    sims = sorted(
+        ((round(float(X[i] @ X[0]), 6), -i) for i in short_ids), reverse=True
+    )[:10]
+    want = [(-negid, s) for s, negid in sims]
+    assert [(r["vec_id"], r["sim"]) for r in sorted(got, key=lambda r: r["rnk"])] == want
+    exact = {r["vec_id"] for r in knn_bruteforce(emb, q, k=10).collect()}
+    adc = {r["vec_id"] for r in ivfpq_topk(idx, q, cents, books, k=10, nprobe=3).collect()}
+    refined = {r["vec_id"] for r in got}
+    assert len(exact & refined) >= len(exact & adc)
