@@ -112,9 +112,13 @@ def _staged_clusters(spark, sf_dir) -> DataFrame:
 
 
 def release_shared_stages() -> int:
-    """Unpersist the shared staged frames (end-of-run hook)."""
+    """Unpersist the shared staged frames (end-of-run hook). Non-frame
+    stage entries (the lifecycle store PATH) are just dropped — their
+    tmp dirs are left for the OS like all staging here."""
     n = 0
     for df in _SHARED_STAGE.values():
+        if not hasattr(df, "unpersist"):
+            continue
         try:
             df.unpersist()
             n += 1
@@ -502,7 +506,7 @@ FROM events GROUP BY 1, 2
 """
 
 
-def q_retention_lifecycle(spark, sf_dir):
+def _staged_lifecycle_store(spark, sf_dir) -> str:
     """Full tier-store lifecycle under the driver's oracle gate (round-7
     verdict item 4 — the manifest/lineage machinery, the north-star's
     core claim, was pytest-only): events reshaped into the pages schema
@@ -534,6 +538,10 @@ def q_retention_lifecycle(spark, sf_dir):
 
     from sprintz_spark.plans import retention as RT
 
+    key = (spark, sf_dir, "lifecycle_store")
+    cached = _SHARED_STAGE.get(key)
+    if cached is not None:
+        return cached
     pages = _t(spark, sf_dir, "events").select(
         # user_id % 10 -> 10 urls: each series is long enough at EVERY
         # tested SF that chunking/compaction/expiry all have real work
@@ -591,6 +599,22 @@ def q_retention_lifecycle(spark, sf_dir):
                 f"retention_lifecycle: compaction did not merge {tier} chunks "
                 f"({comp[tier]['src_chunks']} -> {comp[tier]['dst_chunks']})"
             )
+    _SHARED_STAGE[key] = out
+    return out
+
+
+def q_retention_lifecycle(spark, sf_dir):
+    """Decoded read-back of the staged lifecycle store (see
+    _staged_lifecycle_store for the ingest -> expire -> compact recipe
+    and its loud assertions): all three tiers through read_tier_decoded,
+    1m filtered to the retained window, hash-equal DuckDB's direct
+    rollup of the raw events."""
+    import datetime as dt
+
+    from sprintz_spark.plans import retention as RT
+
+    cutoff = dt.datetime(2024, 1, 15)
+    out = _staged_lifecycle_store(spark, sf_dir)
     cols = ["url", "bucket", *RT.MEASURES]
     t1m = (
         RT.read_tier_decoded(spark, out, "c1", "1m")
@@ -604,6 +628,44 @@ def q_retention_lifecycle(spark, sf_dir):
         F.lit("1d").alias("tier"), *cols
     )
     return t1m.unionByName(t1h).unionByName(t1d)
+
+
+def q_tier_query_pushdown(spark, sf_dir):
+    """Query-on-compressed over the REAL tier store (not the synthetic
+    codec-gate blobs): per-url sum/max/min/count of byte_size_sum
+    straight from the compacted 1h tier via plans.retention.query_tier —
+    the container fast path (query_container_partials: per-series
+    partials from block headers, RLE runs never unpack payload) followed
+    by Catalyst partial+final aggregation. Shares the staged lifecycle
+    store with retention_lifecycle (the materialized store a dashboard
+    queries), so its marginal cost is the pushdown scan itself. The
+    oracle recomputes the 1h tier and its per-url aggregate directly
+    from raw events — equality proves the no-decode aggregate path reads
+    the compacted, expired store exactly."""
+    from sprintz_spark.plans import retention as RT
+
+    out = _staged_lifecycle_store(spark, sf_dir)
+    return RT.query_tier(spark, out, "c1", "1h", "byte_size_sum")
+
+
+_TIER_QUERY_SQL = """
+WITH pages AS (
+  SELECT 'https://u' || (user_id % 10) || '.example/' AS url,
+         ts AS warc_ts,
+         abs(CAST(ROUND(value*100, 0) AS BIGINT)) % 997 AS nbytes
+  FROM events
+), h AS (
+  SELECT url, date_trunc('hour', warc_ts) AS bucket,
+         CAST(sum(nbytes) AS BIGINT) AS byte_size_sum
+  FROM pages GROUP BY 1, 2
+)
+SELECT url,
+       CAST(sum(byte_size_sum) AS BIGINT) AS byte_size_sum_sum,
+       max(byte_size_sum) AS byte_size_sum_max,
+       min(byte_size_sum) AS byte_size_sum_min,
+       count(*) AS n_points
+FROM h GROUP BY url
+"""
 
 
 _RETENTION_LIFECYCLE_SQL = """
@@ -4441,6 +4503,7 @@ def _hand_order() -> dict:
         "stream_gap_alerts": q_stream_gap_alerts,
         "stream_m4": q_stream_m4,
         "retention_lifecycle": q_retention_lifecycle,
+        "tier_query_pushdown": q_tier_query_pushdown,
         "gopher_repetition": q_gopher_repetition,
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc_1h": q_ohlc_1h,
@@ -4564,6 +4627,7 @@ def oracles() -> dict:
         "stream_gap_alerts": _STREAM_GAP_ALERTS_SQL,
         "stream_m4": _M4_SQL,
         "retention_lifecycle": _RETENTION_LIFECYCLE_SQL,
+        "tier_query_pushdown": _TIER_QUERY_SQL,
         "gopher_repetition": _GOPHER_REP_SQL,
         "time_weighted_avg": _TIME_WEIGHTED_SQL,
         "ohlc_1h": _OHLC_SQL,
