@@ -250,3 +250,38 @@ def test_priority_fulfilment_is_semi_join(spark):
     plan = _plan(queries()["priority_fulfilment"](spark, SF))
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_scan_is_broadcast_cell_join(spark):
+    """Round-8: the IVF-PQ candidate scan must be an equi-join on cell
+    with the tiny probe side broadcast — never a nested loop or a
+    corpus-side shuffle for the probe join."""
+    import numpy as np
+
+    from sprintz_spark.operators.similarity import ivfpq_index, ivfpq_topk, ivfpq_train
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    cents, books = ivfpq_train(emb, k_coarse=4, m=8, ksub=16, sample=256)
+    plan = _plan(ivfpq_topk(ivfpq_index(emb, cents, books), q, cents, books, k=5, nprobe=2))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tier_query_pushdown_never_decodes(spark, pages_small, tmp_path):
+    """Round-8: query_tier over a container store must compile to scan ->
+    mapInPandas partials -> ONE hash aggregation; no join, no window, no
+    decode stage (decode_series_container would add an explode/posexplode
+    projection)."""
+    from sprintz_spark.plans import retention as RT
+
+    out = str(tmp_path / "store")
+    RT.run_retention(pages_small, out, snapshot_id="s1", n_buckets=2)
+    df = RT.query_tier(spark, out, "s1", "1h", "byte_size_sum")
+    plan = _plan(df)
+    assert _count(plan, "Exchange hashpartitioning") == 1  # the final agg only
+    assert "Join" not in plan and "Window" not in plan
+    assert "Generate" not in plan  # no explode: partials come from headers
