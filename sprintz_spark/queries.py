@@ -648,6 +648,46 @@ def q_tier_query_pushdown(spark, sf_dir):
     return RT.query_tier(spark, out, "c1", "1h", "byte_size_sum")
 
 
+def q_tier_range_read(spark, sf_dir):
+    """Metadata-pruned range read from the tier store: decoded 1m rows
+    restricted to a 5-day window via plans.retention.read_tier_range —
+    chunks whose [start_bucket, end_bucket] misses the range are pruned
+    at the parquet scan from column min/max stats (no decode, no blob
+    bytes read), exact row filtering after decode. Shares the staged
+    lifecycle store; the window [Jan 20, Jan 25) sits inside the
+    retained region, so the oracle is the direct DuckDB rollup filtered
+    to the same window — equality proves pruning loses nothing and the
+    post-decode filter is exact."""
+    import datetime as dt
+
+    from sprintz_spark.plans import retention as RT
+
+    out = _staged_lifecycle_store(spark, sf_dir)
+    lo = dt.datetime(2024, 1, 20)
+    hi = dt.datetime(2024, 1, 25) - dt.timedelta(microseconds=1)
+    return RT.read_tier_range(spark, out, "c1", "1m", lo, hi).select(
+        "url", "bucket", *RT.MEASURES
+    )
+
+
+_TIER_RANGE_SQL = """
+WITH pages AS (
+  SELECT 'https://u' || (user_id % 10) || '.example/' AS url,
+         ts AS warc_ts,
+         abs(CAST(ROUND(value*100, 0) AS BIGINT)) % 997 AS nbytes
+  FROM events
+)
+SELECT url, date_trunc('minute', warc_ts) AS bucket,
+       count(*) AS crawl_count,
+       CAST(sum(nbytes) AS BIGINT) AS byte_size_sum,
+       max(nbytes) AS byte_size_max,
+       min(nbytes) AS byte_size_min
+FROM pages
+WHERE warc_ts >= TIMESTAMP '2024-01-20' AND warc_ts < TIMESTAMP '2024-01-25'
+GROUP BY 1, 2
+"""
+
+
 _TIER_QUERY_SQL = """
 WITH pages AS (
   SELECT 'https://u' || (user_id % 10) || '.example/' AS url,
@@ -4504,6 +4544,7 @@ def _hand_order() -> dict:
         "stream_m4": q_stream_m4,
         "retention_lifecycle": q_retention_lifecycle,
         "tier_query_pushdown": q_tier_query_pushdown,
+        "tier_range_read": q_tier_range_read,
         "gopher_repetition": q_gopher_repetition,
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc_1h": q_ohlc_1h,
@@ -4628,6 +4669,7 @@ def oracles() -> dict:
         "stream_m4": _M4_SQL,
         "retention_lifecycle": _RETENTION_LIFECYCLE_SQL,
         "tier_query_pushdown": _TIER_QUERY_SQL,
+        "tier_range_read": _TIER_RANGE_SQL,
         "gopher_repetition": _GOPHER_REP_SQL,
         "time_weighted_avg": _TIME_WEIGHTED_SQL,
         "ohlc_1h": _OHLC_SQL,
