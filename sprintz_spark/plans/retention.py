@@ -315,18 +315,21 @@ def compact_tiers(
             continue
         t0 = time.perf_counter()
         decs = []
-        src_chunks = 0
+        src_meta = None
         for ord_, sid in enumerate(snapshot_ids):
             enc = spark.read.parquet(
                 os.path.join(out_dir, f"snap={sid}", f"encoded_tier={tier}")
             )
-            src_chunks += enc.count()
+            m = enc.select(F.lit(1).alias("one"))
+            src_meta = m if src_meta is None else src_meta.unionAll(m)
             dec = (
                 decode_series_container(enc, key_cols=["url"], value_cols=MEASURES)
                 if "keys" in enc.columns
                 else decode_series(enc, key_cols=["url"], value_cols=MEASURES)
             )
             decs.append(dec.withColumn("_snap_ord", F.lit(ord_)))
+        # one job counts source chunks across all snapshots (was one per)
+        src_chunks = src_meta.count()
         merged = decs[0]
         for d in decs[1:]:
             merged = merged.unionByName(d)
@@ -363,14 +366,18 @@ def compact_tiers(
             .withColumn("snapshot_id", F.lit(dest_snapshot_id))
             .withColumn("wall_secs", F.lit(time.perf_counter() - t0))
         )
-        stats.write.mode("append").parquet(_manifest_path(out_dir))
-        agg = enc_done.agg(
-            F.count(F.lit(1)).alias("c"), F.sum("n").alias("r")
-        ).collect()[0]
+        # collect the per-part stats once (one pass over the chunk
+        # metadata), append them to the manifest from local rows, and
+        # derive the report's totals from the same rows — the prior
+        # shape traversed enc_done twice (stats write + a second agg)
+        stats_rows = stats.collect()
+        spark.createDataFrame(stats_rows, stats.schema).write.mode(
+            "append"
+        ).parquet(_manifest_path(out_dir))
         report[tier] = {
             "src_chunks": src_chunks,
-            "dst_chunks": agg["c"],
-            "rows": agg["r"],
+            "dst_chunks": sum(r["n_chunks"] for r in stats_rows),
+            "rows": sum(r["n_rows"] for r in stats_rows),
         }
         lineage["tiers"][tier] = report[tier]
     lin_path = os.path.join(out_dir, f"snap={dest_snapshot_id}", "lineage.json")
@@ -459,14 +466,20 @@ def expire_tier(
         recovery = _recover_swap(enc_path, ".expiring", ".expired")
         _recover_swap(_manifest_path(out_dir), ".rewriting", ".old")
     enc = spark.read.parquet(enc_path)
-    total = enc.count()
     keep = enc.where(F.col("end_bucket") >= F.lit(older_than))
-    kept = keep.count()
-    dropped_rows = (
-        enc.where(F.col("end_bucket") < F.lit(older_than))
-        .agg(F.sum("n").alias("r"), F.sum("raw_bytes").alias("b"))
-        .collect()[0]
-    )
+    # one metadata pass for total/kept/dropped (this frame is chunk
+    # metadata — tiny — but at 10^12-doc scale it is still millions of
+    # chunk rows; three separate jobs over it were pure scheduler tax)
+    _dead = F.col("end_bucket") < F.lit(older_than)
+    _m = enc.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(_dead, 1).otherwise(0)).alias("dropped"),
+        F.sum(F.when(_dead, F.col("n"))).alias("r"),
+        F.sum(F.when(_dead, F.col("raw_bytes"))).alias("b"),
+    ).collect()[0]
+    total = _m["total"]
+    kept = total - int(_m["dropped"] or 0)
+    dropped_rows = _m
     report = {
         "tier": tier,
         "chunks_total": total,
