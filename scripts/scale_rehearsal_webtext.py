@@ -157,6 +157,33 @@ def main() -> int:
             "secs_10x_keys": round(t_big, 1),
             "wall_growth": round(t_big / t_small, 1),
         }
+
+    # --- 10x events: URL surface + cadence + packing (round-8 ext) -----
+    # user_id shifts by k*U so the series count (revisit_intervals'
+    # parallelism axis) grows 10x; hosts stay dim-scale (user_id % 17 —
+    # the hot-host map-side-combine axis gets 10x rows per key).
+    # pack_shards rehearses on the 10x documents copy: the prefix sum's
+    # driver collect is bounded by max_buckets (4096) at ANY scale —
+    # the evidence sought is linear wall with a constant-size collect.
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    nu = ev.agg(F.max("user_id")).first()[0] + 1
+    nev = ev.agg(F.max("event_id")).first()[0] + 1
+    if not os.path.exists(f"{big_dir}/events.parquet/_SUCCESS"):
+        copies = spark.range(10).select(F.col("id").alias("k"))
+        bigev = ev.crossJoin(copies).select(
+            (F.col("event_id") + F.col("k") * nev).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("k") * nu).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        bigev.repartition(32).write.mode("overwrite").parquet(
+            f"{big_dir}/events.parquet"
+        )
+    for name in ("host_stats", "url_normalize", "revisit_intervals",
+                 "pack_shards"):
+        _time_pair(name)
     print(json.dumps(out))
     return 0
 

@@ -1,0 +1,49 @@
+"""URL column expressions for crawl-corpus analytics.
+
+All pure Column expressions (JVM-side, whole-stage-codegen — no Python
+in the hot path), designed for the pages/url surface of the input_hint
+schema. Two users:
+
+  * ``host_of`` — registrable host for per-site rollups (strip the
+    ``www.`` alias, lowercase); a production system would swap in a
+    public-suffix list for eTLD+1, which is a broadcast map lookup with
+    the same plan shape.
+  * ``canonicalize`` — crawl-frontier URL canonicalization: lowercase
+    the scheme://host head, drop the fragment, strip tracking params
+    (``utm_*``), drop an emptied ``?``. Frontier dedup and re-crawl
+    scheduling key on this canonical form.
+
+Reference parity: the reference engine has no URL surface; this belongs
+to the webtext additions (SURVEY §2) next to lang-id/quality/tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def host_of(url: Column) -> Column:
+    """Registrable host: parse, lowercase, strip a leading ``www.``."""
+    return F.regexp_replace(F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", "")
+
+
+def strip_query_fragment(url: Column) -> Column:
+    """URL without query string or fragment (page identity for crawl
+    counting)."""
+    return F.regexp_extract(url, r"^[^?#]+", 0)
+
+
+def canonicalize(url: Column) -> Column:
+    """Crawl-frontier canonical form (see module docstring). Pure
+    string-function pipeline so the oracle can mirror it exactly:
+      1. drop '#fragment';
+      2. remove every 'utm_*=...' query param (with its separator);
+      3. drop a trailing '?' or '&' left by step 2;
+      4. lowercase the scheme://host head (path/query case preserved).
+    """
+    u = F.regexp_replace(url, r"#.*", "")
+    u = F.regexp_replace(u, r"utm_[^&#]*(&|$)", "")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    head = F.regexp_extract(u, r"^(https?://[^/?#]+)", 1)
+    return F.concat(F.lower(head), F.substr(u, F.length(head) + 1))

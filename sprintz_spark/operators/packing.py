@@ -1,0 +1,113 @@
+"""Token-budget shard packing via a distributed prefix sum.
+
+Training-data pipelines shard a curated corpus into fixed-token-budget
+files (e.g. ~4096-token groups for sequence packing, or N-GB shards for
+dataloader striping). The assignment rule used here is the standard
+contiguous fill: walk documents in a deterministic order, keep a running
+token total, and a document belongs to shard ``floor(start_offset /
+capacity)`` where start_offset is the running total BEFORE the document.
+Documents may straddle a boundary (their tail spills into the next
+shard) — exactly how sequence packing with spillover behaves.
+
+The only non-trivial part at scale is the running total itself: a global
+``sum() OVER (ORDER BY doc_id)`` window has an empty PARTITION BY, which
+Spark executes as a SINGLE task — the classic 100-TB scale-killer. So
+``global_prefix_sum`` implements the textbook two-phase distributed scan
+(the same shape Spark's own zipWithIndex uses):
+
+  1. bucket rows by ``order_col`` range (``bucket = order // bucket_width``,
+     width chosen so there are at most ``max_buckets`` buckets);
+  2. one map-side-combined aggregation produces per-bucket subtotals —
+     a frame no larger than ``max_buckets`` rows, collected to the driver
+     and turned into EXCLUSIVE per-bucket offsets (a tiny Python scan);
+  3. the offsets broadcast-join back, and the intra-bucket running sum is
+     a window PARTITIONED BY bucket — every bucket scans in parallel.
+
+Cost: one extra map-side-combined agg + one broadcast join versus the
+single-task window; the collect is bounded by ``max_buckets`` (4096 rows
+of (bucket, subtotal)), independent of table size.
+
+Reference parity: the reference engine has no sharding operator — this
+belongs to the "operations a large-scale training-data pipeline needs"
+surface (SURVEY §2 additions), like the dedup/ANN family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    max_buckets: int = 4096,
+) -> DataFrame:
+    """Add ``out_col`` = inclusive running sum of ``value_col`` in
+    ``order_col`` order, without a global single-task window.
+
+    ``order_col`` must be unique per row (doc_id-like); the result is
+    identical to ``sum(value) OVER (ORDER BY order_col)``.
+    """
+    spark = df.sparkSession
+    # bucket width from the key range (one cheap min/max agg): ceil so
+    # bucket count never exceeds max_buckets even for sparse/offset ids
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    width = max(1, (int(hi) - int(lo)) // max_buckets + 1)
+    bucketed = df.withColumn(
+        "_psum_bucket", ((F.col(order_col) - F.lit(int(lo))) / width).cast("long")
+    )
+    # phase 1: per-bucket subtotals (map-side combined, <= max_buckets rows)
+    subtotals = (
+        bucketed.groupBy("_psum_bucket")
+        .agg(F.sum(value_col).alias("_psum_sub"))
+        .collect()
+    )
+    # phase 2: exclusive offsets via a driver-side scan of the tiny list
+    run = 0
+    offsets = []
+    for r in sorted(subtotals, key=lambda r: r["_psum_bucket"]):
+        offsets.append((r["_psum_bucket"], run))
+        run += int(r["_psum_sub"] or 0)
+    off_df = spark.createDataFrame(offsets, "_psum_bucket long, _psum_off long")
+    # phase 3: intra-bucket running sum, every bucket in parallel
+    w = (
+        Window.partitionBy("_psum_bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), "_psum_bucket")
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_psum_off"))
+        .drop("_psum_bucket", "_psum_off")
+    )
+
+
+def pack_shards(
+    docs: DataFrame,
+    capacity: int,
+    order_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget shard (contiguous
+    fill with spillover) and return per-shard packing stats:
+    (shard_id, n_docs, tokens_sum, first_doc, last_doc).
+
+    shard_id = floor(start_offset / capacity) where start_offset is the
+    running token total before the document in ``order_col`` order."""
+    cum = global_prefix_sum(docs, order_col, tokens_col, out_col="_cum")
+    shard = F.floor((F.col("_cum") - F.col(tokens_col)) / capacity).cast("long")
+    return (
+        cum.withColumn("shard_id", shard)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tokens_col).alias("tokens_sum"),
+            F.min(order_col).alias("first_doc"),
+            F.max(order_col).alias("last_doc"),
+        )
+    )

@@ -4528,6 +4528,322 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- URL surface: host rollup + frontier canonicalization ----------------
+#
+# The driver tables carry no URL column, so these gates synthesize a
+# deterministic crawl-log URL per event in CLOSED FORM (concat/CASE only
+# — both engines rebuild it bit-identically) with the three real-world
+# noise sources a canonicalizer exists for: a www. host alias, host case
+# noise, utm_* tracking params, and fragments. The PARSING side (what the
+# gates actually test) is generic: parse_url/regexp host extraction and
+# the functions/url.py canonicalization pipeline, nothing synth-specific.
+
+_SYNTH_URL_SQL = """
+  'https://'
+  || CASE WHEN user_id % 3 = 0 THEN 'www.' ELSE '' END
+  || CASE WHEN user_id % 4 = 0 THEN 'S' ELSE 's' END
+  || (user_id % 17) || '.example.org/p/' || (event_id % 1000)
+  || CASE WHEN event_id % 5 = 0 THEN '?utm_source=feed&id=' || (event_id % 100)
+          WHEN event_id % 5 = 1 THEN '?id=' || (event_id % 100)
+          WHEN event_id % 5 = 2 THEN '?utm_campaign=x'
+          ELSE '' END
+  || CASE WHEN event_id % 7 = 0 THEN '#frag' ELSE '' END
+"""
+
+
+def _synth_url():
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("user_id") % 4 == 0, F.lit("S")).otherwise(F.lit("s")),
+        (F.col("user_id") % 17).cast("string"),
+        F.lit(".example.org/p/"),
+        (F.col("event_id") % 1000).cast("string"),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (F.col("event_id") % 100).cast("string"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 5 == 1,
+            F.concat(F.lit("?id="), (F.col("event_id") % 100).cast("string")),
+        )
+        .when(F.col("event_id") % 5 == 2, F.lit("?utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(F.col("event_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-host crawl rollup — the first aggregate a crawl operator reads
+    (politeness budgeting, per-site quota): registrable host (parse_url
+    HOST, lowercased, www-stripped via functions/url.py), crawl count,
+    distinct page count (URL sans query/fragment), and payload bytes.
+
+    Plan at 100 TB: pure JVM string expressions into one hash aggregate
+    on a host key whose cardinality is site-scale (millions, not
+    trillions) — map-side combine collapses the per-partition skew of
+    hot hosts before the shuffle, the same reason rollup_1m needs no
+    salting for algebraic measures."""
+    from sprintz_spark.functions.url import host_of, strip_query_fragment
+
+    ev = _t(spark, sf_dir, "events").select(
+        _synth_url().alias("url"), F.length("props").alias("nbytes")
+    )
+    return ev.select(
+        host_of(F.col("url")).alias("host"),
+        strip_query_fragment(F.col("url")).alias("page"),
+        "nbytes",
+    ).groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_crawls"),
+        F.countDistinct("page").alias("n_pages"),
+        F.sum("nbytes").alias("bytes_sum"),
+    )
+
+
+_HOST_STATS_SQL = f"""
+WITH crawl AS (
+  SELECT {_SYNTH_URL_SQL} AS url, length(props) AS nbytes FROM events
+)
+SELECT regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+                      '^www\\.', '') AS host,
+       count(*) AS n_crawls,
+       count(DISTINCT regexp_extract(url, '^[^?#]+', 0)) AS n_pages,
+       CAST(sum(nbytes) AS BIGINT) AS bytes_sum
+FROM crawl GROUP BY 1
+"""
+
+
+def q_url_normalize(spark, sf_dir):
+    """Crawl-frontier URL canonicalization audit: per registrable host,
+    how many distinct raw URLs collapse to how many canonical forms
+    (functions/url.py canonicalize — lowercase scheme://host, drop
+    fragment, strip utm_* params). dup_variants is the frontier-dedup
+    win: re-crawls the canonical key saves. Two countDistincts on one
+    host-keyed hash aggregate; host cardinality is site-scale."""
+    from sprintz_spark.functions.url import canonicalize, host_of
+
+    ev = _t(spark, sf_dir, "events").select(_synth_url().alias("url"))
+    per_host = ev.select(
+        host_of(F.col("url")).alias("host"),
+        F.col("url"),
+        canonicalize(F.col("url")).alias("canon"),
+    )
+    return per_host.groupBy("host").agg(
+        F.countDistinct("url").alias("n_raw_urls"),
+        F.countDistinct("canon").alias("n_canonical_urls"),
+        (F.countDistinct("url") - F.countDistinct("canon")).alias("dup_variants"),
+    )
+
+
+_URL_NORMALIZE_SQL = f"""
+WITH crawl AS (
+  SELECT {_SYNTH_URL_SQL} AS url FROM events
+), canon AS (
+  SELECT url,
+         regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+                        '^www\\.', '') AS host,
+         lower(regexp_extract(u2, '^(https?://[^/?#]+)', 1))
+           || substr(u2, length(regexp_extract(u2, '^(https?://[^/?#]+)', 1)) + 1)
+           AS canon
+  FROM (
+    SELECT url,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(url, '#.*', '', 'g'),
+               'utm_[^&#]*(&|$)', '', 'g'),
+             '[?&]$', '', 'g') AS u2
+    FROM crawl
+  )
+)
+SELECT host,
+       count(DISTINCT url) AS n_raw_urls,
+       count(DISTINCT canon) AS n_canonical_urls,
+       count(DISTINCT url) - count(DISTINCT canon) AS dup_variants
+FROM canon GROUP BY 1
+"""
+
+
+# --- revisit cadence profile (timeseries surface) -------------------------
+
+def q_revisit_intervals(spark, sf_dir):
+    """Per-series crawl-cadence profile: consecutive-event gaps in exact
+    microseconds (lag window per user), aggregated to min/max/sum and the
+    exact median (2x integer-median trick, as mad_anomalies/
+    hourly_profile). This is the freshness signal a re-crawl scheduler
+    reads: median revisit interval per url/series.
+
+    Plan at 100 TB: the lag window partitions by series key — embarrassing
+    parallelism, no global sort; the aggregate rides the same partitioning
+    (one shuffle total)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.withColumn("gap", F.col("us") - F.lag("us").over(w)).where(
+        F.col("gap").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_revisits"),
+        F.min("gap").alias("gap_min_us"),
+        F.max("gap").alias("gap_max_us"),
+        F.sum("gap").alias("gap_sum_us"),
+        F.median(F.col("gap") * 2).cast("long").alias("med2_gap_us"),
+    )
+
+
+_REVISIT_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+)
+SELECT user_id, count(*) AS n_revisits,
+       min(gap) AS gap_min_us, max(gap) AS gap_max_us,
+       CAST(sum(gap) AS BIGINT) AS gap_sum_us,
+       CAST(median(2 * gap) AS BIGINT) AS med2_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""
+
+
+# --- token-budget shard packing (training-data surface) --------------------
+
+_PACK_CAPACITY = 4096
+
+
+def q_pack_shards(spark, sf_dir):
+    """Fixed-token-budget shard assignment over the corpus (contiguous
+    fill with spillover, doc_id order) and per-shard packing stats — the
+    sharding step between curation and the dataloader. The running token
+    total comes from operators/packing.global_prefix_sum, the two-phase
+    distributed scan (per-bucket subtotals -> driver offsets -> bucketed
+    windows), NOT a global single-task ORDER BY window; the oracle is the
+    plain window cumsum DuckDB can afford at sf scale."""
+    from sprintz_spark.operators.packing import pack_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("tokens")
+    )
+    return pack_shards(docs, _PACK_CAPACITY)
+
+
+_PACK_SHARDS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS tokens FROM documents
+), c AS (
+  SELECT doc_id, tokens,
+         sum(tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t
+)
+SELECT CAST(floor((cum - tokens) / {_PACK_CAPACITY}.0) AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS tokens_sum,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
+# --- snapshot-conflict compaction (newest-wins re-crawl merge) -------------
+
+def _staged_conflict_store(spark, sf_dir) -> str:
+    """Overlapping-snapshot tier store: s1 ingests the WHOLE month,
+    s2 re-ingests a 4-day re-crawl window [Jan 10, Jan 14) in which every
+    page's payload is 1000 bytes larger (a re-crawl that found bigger
+    pages). compact_tiers([s1, s2]) must resolve every overlapping
+    (url, bucket) point with the NEWEST snapshot's values (the max_by
+    conflict rule, plans/retention.py compact_tiers docstring) — the
+    backfill/re-crawl path the disjoint retention_lifecycle store never
+    exercises. Tiers 1h/1d only (the conflict rule is format-independent;
+    skipping the fat 1m tier keeps the staged cost bounded)."""
+    import datetime as dt
+    import tempfile
+
+    from sprintz_spark.plans import retention as RT
+
+    key = (spark, sf_dir, "conflict_store")
+    cached = _SHARED_STAGE.get(key)
+    if cached is not None:
+        return cached
+    lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 14)
+    ev = _t(spark, sf_dir, "events")
+
+    def pages(nbytes_sql):
+        return ev.select(
+            F.concat(
+                F.lit("https://u"), F.col("user_id") % 10, F.lit(".example/")
+            ).alias("url"),
+            F.col("ts").cast("timestamp").alias("warc_ts"),
+            F.expr(f"cast(repeat('x', cast({nbytes_sql} as int)) as binary)")
+            .alias("html"),
+        )
+
+    base = "abs(cast(round(value*100, 0) as bigint)) % 997"
+    s1 = pages(base)
+    s2 = pages(f"{base} + 1000").where(
+        (F.col("warc_ts") >= F.lit(lo)) & (F.col("warc_ts") < F.lit(hi))
+    )
+    out = tempfile.mkdtemp(prefix="snapshot_conflict_")
+    RT.run_retention(s1, out, snapshot_id="s1", tiers=("1h", "1d"), n_buckets=4)
+    RT.run_retention(s2, out, snapshot_id="s2", tiers=("1h", "1d"), n_buckets=4)
+    RT.compact_tiers(
+        spark, out, ["s1", "s2"], "c1", tiers=("1h", "1d"), n_buckets=4
+    )
+    _SHARED_STAGE[key] = out
+    return out
+
+
+def q_snapshot_conflict(spark, sf_dir):
+    """Decoded read-back of the conflict store (see _staged_conflict_store):
+    both tiers through read_tier_decoded must hash-equal DuckDB's direct
+    rollup where the re-crawl window's byte sizes are the s2 values —
+    proving compaction's newest-wins merge picked the re-crawl for every
+    overlapping (url, bucket) and s1 everywhere else."""
+    from sprintz_spark.plans import retention as RT
+
+    out = _staged_conflict_store(spark, sf_dir)
+    cols = ["url", "bucket", *RT.MEASURES]
+    t1h = RT.read_tier_decoded(spark, out, "c1", "1h").select(
+        F.lit("1h").alias("tier"), *cols
+    )
+    t1d = RT.read_tier_decoded(spark, out, "c1", "1d").select(
+        F.lit("1d").alias("tier"), *cols
+    )
+    return t1h.unionByName(t1d)
+
+
+_SNAPSHOT_CONFLICT_SQL = """
+WITH pages AS (
+  SELECT 'https://u' || (user_id % 10) || '.example/' AS url,
+         ts AS warc_ts,
+         CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-14'
+              THEN abs(CAST(ROUND(value*100, 0) AS BIGINT)) % 997 + 1000
+              ELSE abs(CAST(ROUND(value*100, 0) AS BIGINT)) % 997 END AS nbytes
+  FROM events
+)
+SELECT '1h' AS tier, url, date_trunc('hour', warc_ts) AS bucket,
+       count(*) AS crawl_count,
+       CAST(sum(nbytes) AS BIGINT) AS byte_size_sum,
+       max(nbytes) AS byte_size_max,
+       min(nbytes) AS byte_size_min
+FROM pages GROUP BY 2, 3
+UNION ALL
+SELECT '1d' AS tier, url, date_trunc('day', warc_ts) AS bucket,
+       count(*) AS crawl_count,
+       CAST(sum(nbytes) AS BIGINT) AS byte_size_sum,
+       max(nbytes) AS byte_size_max,
+       min(nbytes) AS byte_size_min
+FROM pages GROUP BY 2, 3
+"""
+
+
 def _hand_order() -> dict:
     """The registry in its hand-curated (insertion/tie-break) order;
     ``queries()`` reorders it by driver-verification staleness using the
@@ -4631,6 +4947,11 @@ def _hand_order() -> dict:
         "quantize_roundtrip": q_quantize_roundtrip,
         "colsum_predictor": q_colsum_predictor,
         "colsum_weighted": q_colsum_weighted,
+        "host_stats": q_host_stats,
+        "url_normalize": q_url_normalize,
+        "revisit_intervals": q_revisit_intervals,
+        "pack_shards": q_pack_shards,
+        "snapshot_conflict": q_snapshot_conflict,
     }
 
 
@@ -4756,4 +5077,9 @@ def oracles() -> dict:
         "lttb_downsample": _LTTB_SQL,
         "winnow_pairs": _WINNOW_PAIRS_SQL,
         "incremental_rollup": _INCREMENTAL_SQL,
+        "host_stats": _HOST_STATS_SQL,
+        "url_normalize": _URL_NORMALIZE_SQL,
+        "revisit_intervals": _REVISIT_SQL,
+        "pack_shards": _PACK_SHARDS_SQL,
+        "snapshot_conflict": _SNAPSHOT_CONFLICT_SQL,
     }

@@ -1,0 +1,100 @@
+"""Operator tests for the URL surface (functions/url.py) and the
+token-budget shard packing / distributed prefix sum (operators/packing.py).
+
+The oracle gates (host_stats, url_normalize, pack_shards, revisit_intervals,
+snapshot_conflict) cover end-to-end parity; these tests pin the operator
+semantics directly and assert the scale-critical plan shape: the prefix
+sum must never compile to a single-task global window."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sprintz_spark.functions.url import canonicalize, host_of, strip_query_fragment
+from sprintz_spark.operators.packing import global_prefix_sum, pack_shards
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+CASES = [
+    # (raw, host, canonical)
+    (
+        "https://WWW.Site7.Example.org/p/5?utm_source=feed&id=42#frag",
+        "site7.example.org",
+        "https://www.site7.example.org/p/5?id=42",
+    ),
+    (
+        "https://sub.a.example/p/1?utm_campaign=x",
+        "sub.a.example",
+        "https://sub.a.example/p/1",
+    ),
+    ("http://a.example/x?id=3&utm_medium=m", "a.example", "http://a.example/x?id=3"),
+    ("https://a.example/x", "a.example", "https://a.example/x"),
+]
+
+
+def test_url_functions(spark):
+    df = spark.createDataFrame([(r,) for r, _, _ in CASES], "url string").select(
+        host_of(F.col("url")).alias("h"),
+        canonicalize(F.col("url")).alias("c"),
+        strip_query_fragment(F.col("url")).alias("p"),
+    )
+    rows = df.collect()
+    for row, (raw, host, canon) in zip(rows, CASES):
+        assert row["h"] == host, raw
+        assert row["c"] == canon, raw
+        assert "?" not in row["p"] and "#" not in row["p"]
+
+
+def test_prefix_sum_matches_global_window(spark):
+    # sparse, shuffled ids with duplicates in value space
+    rows = [(i * 7 + (i % 3), (i * 13) % 50 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    got = global_prefix_sum(df, "k", "v", out_col="cum", max_buckets=16)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert (
+        got.select("k", "cum").subtract(want.select("k", "cum")).count() == 0
+        and want.select("k", "cum").subtract(got.select("k", "cum")).count() == 0
+    )
+
+
+def test_prefix_sum_plan_has_no_single_task_window(spark):
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("v")
+    )
+    got = global_prefix_sum(df, "k", "v", out_col="cum")
+    plan = _plan(got)
+    # the intra-bucket window partitions by _psum_bucket; a global ORDER BY
+    # window would show Exchange SinglePartition — the 100-TB killer
+    assert "SinglePartition" not in plan, plan
+
+
+def test_prefix_sum_empty_input(spark):
+    df = spark.createDataFrame([], "k long, v long")
+    assert global_prefix_sum(df, "k", "v").count() == 0
+
+
+def test_pack_shards_boundaries(spark):
+    # 10 docs x 30 tokens, capacity 100: starts at 0,30,...,270 ->
+    # shard = start // 100; doc 3 (start 90) straddles into shard 0
+    df = spark.createDataFrame(
+        [(i, 30) for i in range(10)], "doc_id long, tokens long"
+    )
+    out = {r["shard_id"]: r for r in pack_shards(df, 100).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert out[0]["n_docs"] == 4 and out[0]["first_doc"] == 0
+    assert out[1]["n_docs"] == 3 and out[1]["first_doc"] == 4
+    assert out[2]["tokens_sum"] == 90
+    assert sum(r["tokens_sum"] for r in out.values()) == 300
+
+
+@pytest.mark.parametrize("max_buckets", [1, 3, 10_000])
+def test_prefix_sum_bucket_extremes(spark, max_buckets):
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(97)], "k long, v long"
+    )
+    got = global_prefix_sum(df, "k", "v", out_col="cum", max_buckets=max_buckets)
+    assert [r["cum"] for r in got.orderBy("k").collect()] == list(range(1, 98))
