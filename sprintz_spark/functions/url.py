@@ -45,5 +45,7 @@ def canonicalize(url: Column) -> Column:
     u = F.regexp_replace(url, r"#.*", "")
     u = F.regexp_replace(u, r"utm_[^&#]*(&|$)", "")
     u = F.regexp_replace(u, r"[?&]$", "")
-    head = F.regexp_extract(u, r"^(https?://[^/?#]+)", 1)
+    # (?i:) — schemes arrive in any case in real crawl data; the oracle
+    # SQL mirrors the same flag (RE2 and Java regex both support it)
+    head = F.regexp_extract(u, r"^((?i:https?)://[^/?#]+)", 1)
     return F.concat(F.lower(head), F.substr(u, F.length(head) + 1))

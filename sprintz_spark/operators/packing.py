@@ -58,8 +58,10 @@ def global_prefix_sum(
     if lo is None:
         return df.withColumn(out_col, F.lit(None).cast("long"))
     width = max(1, (int(hi) - int(lo)) // max_buckets + 1)
+    # integer DIV, not double division: exact for keys beyond 2^53
+    # (snowflake-style ids); operands are non-negative so DIV == floor
     bucketed = df.withColumn(
-        "_psum_bucket", ((F.col(order_col) - F.lit(int(lo))) / width).cast("long")
+        "_psum_bucket", F.expr(f"({order_col} - {int(lo)}L) DIV {width}L")
     )
     # phase 1: per-bucket subtotals (map-side combined, <= max_buckets rows)
     subtotals = (
@@ -100,7 +102,9 @@ def pack_shards(
     shard_id = floor(start_offset / capacity) where start_offset is the
     running token total before the document in ``order_col`` order."""
     cum = global_prefix_sum(docs, order_col, tokens_col, out_col="_cum")
-    shard = F.floor((F.col("_cum") - F.col(tokens_col)) / capacity).cast("long")
+    # start_offset DIV capacity (integer, exact past 2^53 total tokens;
+    # start_offset >= 0 so DIV == floor, matching the oracle's floor())
+    shard = F.expr(f"(_cum - {tokens_col}) DIV {int(capacity)}L")
     return (
         cum.withColumn("shard_id", shard)
         .groupBy("shard_id")

@@ -4645,8 +4645,8 @@ WITH crawl AS (
   SELECT url,
          regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
                         '^www\\.', '') AS host,
-         lower(regexp_extract(u2, '^(https?://[^/?#]+)', 1))
-           || substr(u2, length(regexp_extract(u2, '^(https?://[^/?#]+)', 1)) + 1)
+         lower(regexp_extract(u2, '^((?i:https?)://[^/?#]+)', 1))
+           || substr(u2, length(regexp_extract(u2, '^((?i:https?)://[^/?#]+)', 1)) + 1)
            AS canon
   FROM (
     SELECT url,

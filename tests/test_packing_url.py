@@ -98,3 +98,58 @@ def test_prefix_sum_bucket_extremes(spark, max_buckets):
     )
     got = global_prefix_sum(df, "k", "v", out_col="cum", max_buckets=max_buckets)
     assert [r["cum"] for r in got.orderBy("k").collect()] == list(range(1, 98))
+
+
+def test_prefix_sum_snowflake_ids_past_2p53(spark):
+    # keys above 2^53 are NOT exactly representable as doubles: adjacent
+    # ids collide under double division. The integer-DIV bucketing must
+    # keep them distinct and the running sum exact.
+    base = (1 << 55) + 12345
+    rows = [(base + i, i % 9 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    got = global_prefix_sum(df, "k", "v", out_col="cum", max_buckets=16)
+    vals = [v for _, v in sorted(rows)]
+    want = []
+    run = 0
+    for v in vals:
+        run += v
+        want.append(run)
+    assert [r["cum"] for r in got.orderBy("k").collect()] == want
+
+
+def test_pack_shards_huge_capacity_and_ids(spark):
+    # shard DIV must stay exact with large offsets/capacities; one doc per
+    # shard when tokens == capacity
+    cap = 1 << 40
+    df = spark.createDataFrame(
+        [((1 << 54) + i, cap) for i in range(4)], "doc_id long, tokens long"
+    )
+    out = sorted(pack_shards(df, cap).collect(), key=lambda r: r["shard_id"])
+    assert [r["shard_id"] for r in out] == [0, 1, 2, 3]
+    assert all(r["n_docs"] == 1 for r in out)
+
+
+URL_EDGE_CASES = [
+    # fragment-only / trailing-? cleanup and utm-only query
+    ("https://A.example/p#only-frag", "a.example", "https://a.example/p"),
+    ("https://a.example/p?utm_source=x#f", "a.example", "https://a.example/p"),
+    # utm in the middle: separator of the removed param collapses
+    (
+        "https://a.example/p?a=1&utm_x=2&b=3",
+        "a.example",
+        "https://a.example/p?a=1&b=3",
+    ),
+    # path/query case is preserved, only scheme://host lowers
+    ("HTTP://WWW.A.Example/PaTh?Q=UPPER", "a.example", "http://www.a.example/PaTh?Q=UPPER"),
+]
+
+
+def test_url_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(r,) for r, _, _ in URL_EDGE_CASES], "url string"
+    ).select(
+        host_of(F.col("url")).alias("h"), canonicalize(F.col("url")).alias("c")
+    )
+    for row, (raw, host, canon) in zip(df.collect(), URL_EDGE_CASES):
+        assert row["h"] == host, raw
+        assert row["c"] == canon, raw
