@@ -3777,12 +3777,20 @@ def q_distinctive_terms(spark, sf_dir):
     tf = grams.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("tf"))
     tf = _cache(tf)
     sdf = tf.groupBy("gram").agg(F.count(F.lit(1)).alias("source_df"))
-    n_sources = tf.select("source").distinct().count()
-    scored = tf.join(sdf, "gram").select(
-        "source",
-        "gram",
-        "tf",
-        (F.col("tf") * (F.lit(n_sources) - F.col("source_df") + 1)).alias("score"),
+    # n_sources as a broadcast 1-row aggregate (not a separate .count()
+    # action) so the whole query stays a single job
+    ns = tf.agg(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        tf.join(sdf, "gram")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "gram",
+            "tf",
+            (F.col("tf") * (F.col("n_sources") - F.col("source_df") + 1)).alias(
+                "score"
+            ),
+        )
     )
     w = Window.partitionBy("source").orderBy(
         F.col("score").desc(), F.col("gram").asc()

@@ -144,6 +144,18 @@ URL_EDGE_CASES = [
 ]
 
 
+def test_url_query_plans_stay_jvm_side(spark):
+    # PLANS.md §11 claim: host_stats / url_normalize are pure JVM string
+    # expressions into hash aggregates — no Python in the hot path
+    from sprintz_spark.queries import q_host_stats, q_url_normalize
+
+    for q in (q_host_stats, q_url_normalize):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
+        assert "HashAggregate" in plan
+
+
 def test_url_edge_cases(spark):
     df = spark.createDataFrame(
         [(r,) for r, _, _ in URL_EDGE_CASES], "url string"
