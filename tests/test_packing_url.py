@@ -156,6 +156,17 @@ def test_url_query_plans_stay_jvm_side(spark):
         assert "HashAggregate" in plan
 
 
+def test_revisit_intervals_single_exchange(spark):
+    # PLANS.md §11 claim: the lag window partitions by user_id and the
+    # aggregate rides the same partitioning — ONE shuffle total
+    from sprintz_spark.queries import q_revisit_intervals
+
+    plan = _plan(q_revisit_intervals(spark, "/root/testdata/sf0.001"))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "SinglePartition" not in plan
+
+
 def test_url_edge_cases(spark):
     df = spark.createDataFrame(
         [(r,) for r, _, _ in URL_EDGE_CASES], "url string"
