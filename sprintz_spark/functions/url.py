@@ -38,12 +38,18 @@ def canonicalize(url: Column) -> Column:
     """Crawl-frontier canonical form (see module docstring). Pure
     string-function pipeline so the oracle can mirror it exactly:
       1. drop '#fragment';
-      2. remove every 'utm_*=...' query param (with its separator);
+      2. remove every 'utm_*=...' QUERY PARAM — anchored at a '?'/'&'
+         separator so path segments ('/utm_guide') and param values
+         ('?ref=utm_email') are never touched.  Two RE2-compatible
+         passes (no lookbehind, so DuckDB mirrors them verbatim): a
+         run-of-utm-params followed by a kept param collapses onto its
+         separator, then a trailing run drops with its separator;
       3. drop a trailing '?' or '&' left by step 2;
       4. lowercase the scheme://host head (path/query case preserved).
     """
     u = F.regexp_replace(url, r"#.*", "")
-    u = F.regexp_replace(u, r"utm_[^&#]*(&|$)", "")
+    u = F.regexp_replace(u, r"([?&])utm_[^&#]*(&utm_[^&#]*)*&", "$1")
+    u = F.regexp_replace(u, r"[?&]utm_[^&#]*(&utm_[^&#]*)*$", "")
     u = F.regexp_replace(u, r"[?&]$", "")
     # (?i:) — schemes arrive in any case in real crawl data; the oracle
     # SQL mirrors the same flag (RE2 and Java regex both support it)

@@ -34,6 +34,7 @@ surface (SURVEY §2 additions), like the dedup/ANN family.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,13 +49,31 @@ def global_prefix_sum(
     """Add ``out_col`` = inclusive running sum of ``value_col`` in
     ``order_col`` order, without a global single-task window.
 
-    ``order_col`` must be unique per row (doc_id-like); the result is
-    identical to ``sum(value) OVER (ORDER BY order_col)``.
+    ``order_col`` must be unique per row (doc_id-like) and non-null
+    (a null has no place in a total order — we raise rather than let the
+    bucket join silently drop the row); the result is identical to
+    ``sum(value) OVER (ORDER BY order_col)``.
+
+    The input is persisted (MEMORY_AND_DISK) for the duration: the
+    algorithm reads it in three passes (range agg, bucket subtotals,
+    final join) and the driver-side offsets are only correct if every
+    pass sees the SAME rows — a nondeterministic upstream (sample,
+    repartition-race) would otherwise disagree with itself. The cache
+    also collapses three upstream evaluations into one. Callers may
+    ``unpersist()`` the input after consuming the result.
     """
     spark = df.sparkSession
-    # bucket width from the key range (one cheap min/max agg): ceil so
-    # bucket count never exceeds max_buckets even for sparse/offset ids
-    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # bucket width from the key range; the same single pass counts nulls
+    # (count(*) vs count(col)) and materializes the cache
+    lo, hi, n_all, n_key = df.agg(
+        F.min(order_col), F.max(order_col), F.count(F.lit(1)), F.count(order_col)
+    ).first()
+    if n_all != n_key:
+        raise ValueError(
+            f"global_prefix_sum: {n_all - n_key} null {order_col!r} rows — "
+            "a running sum needs a total order; filter or fill them first"
+        )
     if lo is None:
         return df.withColumn(out_col, F.lit(None).cast("long"))
     width = max(1, (int(hi) - int(lo)) // max_buckets + 1)

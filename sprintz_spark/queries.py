@@ -70,6 +70,21 @@ def release_query_caches() -> int:
 _SHARED_STAGE: dict = {}
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp that is guaranteed to be deleted at interpreter exit
+    (r8 ADVICE: per-query stream staging and tier stores accumulated in
+    /tmp across bench/parity runs). Shared-stage store paths are ALSO
+    rmtreed earlier by release_shared_stages; atexit is the backstop
+    for runs that never call it."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def _staged_events_cents(spark, sf_dir) -> DataFrame:
     key = (spark, sf_dir, "events_cents")
     df = _SHARED_STAGE.get(key)
@@ -112,11 +127,19 @@ def _staged_clusters(spark, sf_dir) -> DataFrame:
 
 
 def release_shared_stages() -> int:
-    """Unpersist the shared staged frames (end-of-run hook). Non-frame
-    stage entries (the lifecycle store PATH) are just dropped — their
-    tmp dirs are left for the OS like all staging here."""
+    """Unpersist the shared staged frames and DELETE staged on-disk tier
+    stores (end-of-run hook). Path-valued stage entries (the lifecycle /
+    conflict stores, ~3x the 1m dataset each) used to be left for the
+    OS; repeated bench/parity runs accumulated sizable /tmp dirs
+    (r8 ADVICE) — they are rebuilt on demand, so rmtree them here."""
+    import shutil
+
     n = 0
     for df in _SHARED_STAGE.values():
+        if isinstance(df, str):
+            shutil.rmtree(df, ignore_errors=True)
+            n += 1
+            continue
         if not hasattr(df, "unpersist"):
             continue
         try:
@@ -215,7 +238,7 @@ def q_stream_rollup_1m(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), _cents().alias("cents")
     )
-    base = tempfile.mkdtemp(prefix="stream_rollup_1m_")
+    base = _scratch_dir("stream_rollup_1m_")
     src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
     ev.coalesce(1).write.mode("append").parquet(src)
     # fixed far-future sentinel (generator timestamps are ~2024-2026):
@@ -284,7 +307,7 @@ def q_stream_dedup_docs(spark, sf_dir):
             + F.make_interval(secs=F.pmod("doc_id", F.lit(3600)).cast("double"))
         ).alias("ts"),
     )
-    base = tempfile.mkdtemp(prefix="stream_dedup_docs_")
+    base = _scratch_dir("stream_dedup_docs_")
     src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
     docs.coalesce(1).write.mode("append").parquet(src)
     # copy ids must be disjoint from REAL ids at any corpus size — a
@@ -357,7 +380,7 @@ def q_stream_gap_alerts(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
-    base = tempfile.mkdtemp(prefix="stream_gap_alerts_")
+    base = _scratch_dir("stream_gap_alerts_")
     src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
     split = dt.datetime(2024, 1, 16)  # generator events span Jan 2024
     ev.where(F.col("ts") < F.lit(split)).coalesce(1).write.mode("append").parquet(src)
@@ -433,7 +456,7 @@ def q_stream_m4(spark, sf_dir):
         "event_id",
         _cents().alias("cents"),
     )
-    base = tempfile.mkdtemp(prefix="stream_m4_")
+    base = _scratch_dir("stream_m4_")
     src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
     ev.coalesce(1).write.mode("append").parquet(src)
     sentinel = spark.createDataFrame(
@@ -454,9 +477,26 @@ def q_stream_m4(spark, sf_dir):
     return spark.read.parquet(out).where(F.col("user_id") >= 0)
 
 
-# oracle: _M4_SQL verbatim — streamed epoch-aligned 1h tumbling windows
-# are exactly date_trunc('hour') buckets, so the batch m4 oracle gates
-# the streamed pixels too (registered under "stream_m4" below)
+# oracle: like _M4_SQL (streamed epoch-aligned 1h tumbling windows are
+# exactly date_trunc('hour') buckets) but with first/last ordered by the
+# SAME total order the stream uses — lexicographic (ts, event_id) via
+# DuckDB named-struct min/max (field-order comparison matches Spark
+# min_by/max_by on struct(ts, event_id) exactly; see PLANS.md). The
+# batch _M4_SQL's arithmetic composite ord diverges from the struct
+# order once an event_id delta exceeds 1e6 x the smallest ts gap in
+# micros (r8 ADVICE) — this form has no such precondition.
+_STREAM_M4_SQL = f"""
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         {_CENTS_SQL} AS cents, epoch_us(ts) AS us, event_id AS id
+  FROM events
+)
+SELECT user_id, bucket, min(cents) AS v_min, max(cents) AS v_max,
+       (min({{'us': us, 'id': id, 'v': cents}})).v AS v_first,
+       (max({{'us': us, 'id': id, 'v': cents}})).v AS v_last,
+       count(*) AS n
+FROM e GROUP BY user_id, bucket
+"""
 
 
 def q_rollup_1h_cascade(spark, sf_dir):
@@ -556,7 +596,7 @@ def _staged_lifecycle_store(spark, sf_dir) -> str:
     )
     split = dt.datetime(2024, 1, 16)  # day boundary: disjoint buckets per tier
     cutoff = dt.datetime(2024, 1, 15)
-    out = tempfile.mkdtemp(prefix="retention_lifecycle_")
+    out = _scratch_dir("retention_lifecycle_")
     # scale-adaptive chunking: ~1200 chunks at any SF (a real store sizes
     # chunk_rows to target chunk bytes, not a constant row count). Floor 8
     # keeps the sf0.001 series fragmented enough that expiry has whole
@@ -3567,7 +3607,7 @@ def q_stream_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
-    base = tempfile.mkdtemp(prefix="stream_sessionize_")
+    base = _scratch_dir("stream_sessionize_")
     src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
     ev.coalesce(1).write.mode("append").parquet(src)
     sentinel = spark.createDataFrame(
@@ -4660,8 +4700,10 @@ WITH crawl AS (
     SELECT url,
            regexp_replace(
              regexp_replace(
-               regexp_replace(url, '#.*', '', 'g'),
-               'utm_[^&#]*(&|$)', '', 'g'),
+               regexp_replace(
+                 regexp_replace(url, '#.*', '', 'g'),
+                 '([?&])utm_[^&#]*(&utm_[^&#]*)*&', '\\1', 'g'),
+               '[?&]utm_[^&#]*(&utm_[^&#]*)*$', '', 'g'),
              '[?&]$', '', 'g') AS u2
     FROM crawl
   )
@@ -4798,7 +4840,7 @@ def _staged_conflict_store(spark, sf_dir) -> str:
     s2 = pages(f"{base} + 1000").where(
         (F.col("warc_ts") >= F.lit(lo)) & (F.col("warc_ts") < F.lit(hi))
     )
-    out = tempfile.mkdtemp(prefix="snapshot_conflict_")
+    out = _scratch_dir("snapshot_conflict_")
     RT.run_retention(s1, out, snapshot_id="s1", tiers=("1h", "1d"), n_buckets=4)
     RT.run_retention(s2, out, snapshot_id="s2", tiers=("1h", "1d"), n_buckets=4)
     RT.compact_tiers(
@@ -4995,7 +5037,7 @@ def oracles() -> dict:
         "stream_dedup_docs": _STREAM_DEDUP_DOCS_SQL,
         "stream_sessionize": _STREAM_SESSIONIZE_SQL,
         "stream_gap_alerts": _STREAM_GAP_ALERTS_SQL,
-        "stream_m4": _M4_SQL,
+        "stream_m4": _STREAM_M4_SQL,
         "retention_lifecycle": _RETENTION_LIFECYCLE_SQL,
         "tier_query_pushdown": _TIER_QUERY_SQL,
         "tier_range_read": _TIER_RANGE_SQL,

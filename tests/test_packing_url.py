@@ -77,6 +77,15 @@ def test_prefix_sum_empty_input(spark):
     assert global_prefix_sum(df, "k", "v").count() == 0
 
 
+def test_prefix_sum_rejects_null_order_keys(spark):
+    # a null order key has no position in the total order; the operator
+    # must raise loudly instead of silently dropping the row in the
+    # bucket join (r8 ADVICE)
+    df = spark.createDataFrame([(1, 10), (None, 20), (3, 30)], "k long, v long")
+    with pytest.raises(ValueError, match="null"):
+        global_prefix_sum(df, "k", "v")
+
+
 def test_pack_shards_boundaries(spark):
     # 10 docs x 30 tokens, capacity 100: starts at 0,30,...,270 ->
     # shard = start // 100; doc 3 (start 90) straddles into shard 0
@@ -141,6 +150,23 @@ URL_EDGE_CASES = [
     ),
     # path/query case is preserved, only scheme://host lowers
     ("HTTP://WWW.A.Example/PaTh?Q=UPPER", "a.example", "http://www.a.example/PaTh?Q=UPPER"),
+    # utm-stripping is anchored at a ?/& separator: 'utm_' in a path
+    # segment or inside a param VALUE must survive (r8 ADVICE)
+    ("https://a.example/utm_guide", "a.example", "https://a.example/utm_guide"),
+    ("https://a.example/p?ref=utm_email", "a.example", "https://a.example/p?ref=utm_email"),
+    # runs of consecutive utm params collapse in one pass, kept params
+    # keep exactly one separator
+    (
+        "https://h.example/p?utm_a=1&utm_b=2&id=3",
+        "h.example",
+        "https://h.example/p?id=3",
+    ),
+    (
+        "https://h.example/p?utm_a&id=1&utm_b&utm_c&id=2&utm_d",
+        "h.example",
+        "https://h.example/p?id=1&id=2",
+    ),
+    ("https://h.example/p?utm_a=1&utm_b=2", "h.example", "https://h.example/p"),
 ]
 
 
