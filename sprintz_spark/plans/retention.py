@@ -126,69 +126,163 @@ def run_retention(
     (url, bucket) keys before the shuffle — measured, the explicit
     two-phase salt costs a second full shuffle for identical output. Set
     ``salted=True`` for non-algebraic extensions or pathological single-key
-    skew; equivalence is oracle-verified (rollup_1d_salted query)."""
+    skew; equivalence is oracle-verified (rollup_1d_salted query).
+
+    Job-count discipline (r8 verdict item 3 — a lifecycle that launches
+    ~12 driver actions per snapshot is scheduler-bound at fleet scale):
+      * job 1 writes the FINEST tier's series (raw pages scanned once);
+      * job 2 writes every coarser tier in one union
+        (``partitionBy(series_tier)`` into ``snap=<id>/`` — the layout is
+        byte-identical to per-tier writes), cascading off the
+        materialized finest tier, so raw pages are never re-read;
+      * ONE manifest read resolves pending parts for all tiers;
+      * ONE encode job per wire format covers all pending tiers, grouped
+        by the composite ``_tp = tier_index*n_buckets + part`` (each
+        applyInPandas group is still a single (tier, part) slice, so the
+        chunk bytes are identical to per-tier encodes) and written with
+        ``partitionBy(encoded_tier, part)`` — again the existing layout;
+      * ONE stats job over the written chunks appends every tier's
+        manifest rows (wall_secs is the whole run's wall, attributed to
+        each row — per-tier encode cost stays separable via encode_secs).
+    """
     spark = pages.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    report: dict = {}
-    finer: DataFrame | None = None
-    for tier in tiers:
-        t0 = time.perf_counter()
-        if finer is None:
-            derive = R.derive_series_salted if salted else R.derive_series
-            series = derive(pages, tier)
-        else:
-            series = R.cascade(finer, tier)
-        series = series.withColumn(
+    t_run0 = time.perf_counter()
+    tiers = tuple(tiers)
+    snap_dir = os.path.join(out_dir, f"snap={snapshot_id}")
+
+    def _series_path(tier: str) -> str:
+        return os.path.join(snap_dir, f"series_tier={tier}")
+
+    def _enc_path(tier: str) -> str:
+        return os.path.join(snap_dir, f"encoded_tier={tier}")
+
+    def _with_part(df: DataFrame) -> DataFrame:
+        return df.withColumn(
             "part", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
         )
-        # materialize the tier series once: feeds both this tier's encode
-        # and the next tier's cascade (raw pages scanned exactly once)
-        series_path = os.path.join(out_dir, f"snap={snapshot_id}", f"series_tier={tier}")
-        series.write.mode("overwrite").parquet(series_path)
-        series = spark.read.parquet(series_path)
-        pending = _pending_parts(spark, out_dir, tier, snapshot_id, n_buckets)
-        enc_path = os.path.join(out_dir, f"snap={snapshot_id}", f"encoded_tier={tier}")
-        if pending:
-            # the multi-series container amortizes blob framing across all
-            # series of a partition AND gives the deflate post-pass
-            # cross-series redundancy (measured: 1m 4.8->7.7x, 1h
-            # 4.9->8.8x, 1d 1.7->4.7x). Pass container_tiers=() for
-            # per-series rows when the store must serve single-url reads.
-            encoder = (
-                encode_series_container if tier in container_tiers else encode_series
+
+    derive = R.derive_series_salted if salted else R.derive_series
+    first = _with_part(derive(pages, tiers[0]))
+    first.withColumn("series_tier", F.lit(tiers[0])).write.partitionBy(
+        "series_tier"
+    ).mode("overwrite").parquet(snap_dir)
+    if len(tiers) > 1:
+        # every coarser tier in ONE job, cascading off the materialized
+        # finest tier. The intermediate cascade aggregates recompute once
+        # per consuming branch (no exchange reuse across union branches —
+        # measured), but those run over the tiny finer-tier rollup, never
+        # over raw pages.
+        finer = spark.read.parquet(_series_path(tiers[0]))
+        branches = []
+        for tier in tiers[1:]:
+            finer = _with_part(R.cascade(finer, tier))
+            branches.append(finer.withColumn("series_tier", F.lit(tier)))
+        union = branches[0]
+        for b in branches[1:]:
+            union = union.unionByName(b)
+        union.write.partitionBy("series_tier").mode("overwrite").parquet(snap_dir)
+
+    # pending parts for ALL tiers from one manifest read
+    man = read_manifest(spark, out_dir)
+    done: dict = {t: set() for t in tiers}
+    if man is not None:
+        for r in (
+            man.where(
+                (F.col("snapshot_id") == snapshot_id) & F.col("tier").isin(list(tiers))
             )
-            enc = encoder(
-                series.where(F.col("part").isin(pending)),
-                key_cols=["url"],
-                part_col="part",
-                value_cols=MEASURES,
-                chunk_rows=chunk_rows,
+            .select("tier", "part")
+            .collect()
+        ):
+            done[r["tier"]].add(r["part"])
+    pending = {t: [p for p in range(n_buckets) if p not in done[t]] for t in tiers}
+
+    # the multi-series container amortizes blob framing across all series
+    # of a partition AND gives the deflate post-pass cross-series
+    # redundancy (measured: 1m 4.8->7.7x, 1h 4.9->8.8x, 1d 1.7->4.7x).
+    # Pass container_tiers=() for per-series rows when the store must
+    # serve single-url reads.
+    tier_idx = {t: i for i, t in enumerate(tiers)}
+    tier_arr = F.array(*[F.lit(t) for t in tiers])
+    for is_container in (True, False):
+        todo = [
+            t for t in tiers if pending[t] and ((t in container_tiers) == is_container)
+        ]
+        if not todo:
+            continue
+        frames = []
+        for t in todo:
+            s = spark.read.parquet(_series_path(t)).where(
+                F.col("part").isin(pending[t])
             )
-            enc.write.partitionBy("part").mode("overwrite").parquet(enc_path)
-            enc_done = spark.read.parquet(enc_path).where(F.col("part").isin(pending))
-            stats = (
-                enc_done.groupBy("part")
-                .agg(
-                    F.count(F.lit(1)).alias("n_chunks"),
-                    F.sum("n").alias("n_rows"),
-                    F.sum("raw_bytes").alias("raw_bytes"),
-                    F.sum("comp_bytes").alias("comp_bytes"),
-                    F.sum("encode_secs").alias("encode_secs"),
-                    F.min("start_bucket").alias("min_bucket"),
-                )
-                .withColumn("tier", F.lit(tier))
-                .withColumn("snapshot_id", F.lit(snapshot_id))
-                .withColumn("wall_secs", F.lit(time.perf_counter() - t0))
+            frames.append(
+                s.withColumn("_tp", (F.lit(tier_idx[t] * n_buckets) + F.col("part")))
             )
-            stats.write.mode("append").parquet(_manifest_path(out_dir))
-        report[tier] = {
-            "parts_written": len(pending),
-            "parts_skipped": n_buckets - len(pending),
-            "series_path": series_path,
-            "encoded_path": enc_path,
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        encoder = encode_series_container if is_container else encode_series
+        enc = encoder(
+            u,
+            key_cols=["url"],
+            part_col="_tp",
+            value_cols=MEASURES,
+            chunk_rows=chunk_rows,
+        )
+        enc = (
+            enc.withColumn(
+                "encoded_tier",
+                F.element_at(tier_arr, F.expr(f"cast(_tp DIV {n_buckets} AS int) + 1")),
+            )
+            .withColumn("part", F.pmod(F.col("_tp"), F.lit(n_buckets)).cast("int"))
+            .drop("_tp")
+        )
+        enc.write.partitionBy("encoded_tier", "part").mode("overwrite").parquet(
+            snap_dir
+        )
+
+    # manifest rows for every written tier from one stats job
+    stats_frames = []
+    for t in tiers:
+        if not pending[t]:
+            continue
+        e = spark.read.parquet(_enc_path(t)).where(F.col("part").isin(pending[t]))
+        stats_frames.append(
+            e.select(
+                "part", "n", "raw_bytes", "comp_bytes", "encode_secs", "start_bucket"
+            ).withColumn("tier", F.lit(t))
+        )
+    if stats_frames:
+        su = stats_frames[0]
+        for f in stats_frames[1:]:
+            su = su.unionByName(f)
+        stats = (
+            su.groupBy("tier", "part")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum("n").alias("n_rows"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("comp_bytes").alias("comp_bytes"),
+                F.sum("encode_secs").alias("encode_secs"),
+                F.min("start_bucket").alias("min_bucket"),
+            )
+            .withColumn("snapshot_id", F.lit(snapshot_id))
+            .withColumn("wall_secs", F.lit(time.perf_counter() - t_run0))
+            .select(
+                "part", "n_chunks", "n_rows", "raw_bytes", "comp_bytes",
+                "encode_secs", "min_bucket", "tier", "snapshot_id", "wall_secs",
+            )
+        )
+        stats.write.mode("append").parquet(_manifest_path(out_dir))
+    return {
+        tier: {
+            "parts_written": len(pending[tier]),
+            "parts_skipped": n_buckets - len(pending[tier]),
+            "series_path": _series_path(tier),
+            "encoded_path": _enc_path(tier),
         }
-        finer = series
-    return report
+        for tier in tiers
+    }
 
 
 def tier_ratio_report(spark: SparkSession, out_dir: str, snapshot_id: str) -> dict:
@@ -289,14 +383,31 @@ def compact_tiers(
     # of rows (which would double-count bytes in tier_ratio_report)
     man = read_manifest(spark, out_dir)
     done_tiers: set = set()
+    src_chunks: dict = {}
+    src_covered: set = set()
     if man is not None:
-        done_tiers = {
-            r["tier"]
-            for r in man.where(F.col("snapshot_id") == dest_snapshot_id)
-            .select("tier")
-            .distinct()
+        # ONE collect serves both resume detection (dest rows) and the
+        # per-tier source chunk counts (the manifest is reconciled to the
+        # store by expire_tier, so summing its n_chunks equals counting
+        # the chunk rows) — the prior shape paid a separate count job
+        man_rows = (
+            man.where(
+                F.col("snapshot_id").isin([dest_snapshot_id, *snapshot_ids])
+                & F.col("tier").isin(list(tiers))
+            )
+            .groupBy("tier", "snapshot_id")
+            .agg(F.sum("n_chunks").alias("n_chunks"))
             .collect()
+        )
+        done_tiers = {
+            r["tier"] for r in man_rows if r["snapshot_id"] == dest_snapshot_id
         }
+        for r in man_rows:
+            if r["snapshot_id"] != dest_snapshot_id:
+                src_chunks[r["tier"]] = src_chunks.get(r["tier"], 0) + int(
+                    r["n_chunks"]
+                )
+                src_covered.add((r["tier"], r["snapshot_id"]))
     for tier in tiers:
         if tier in done_tiers:
             enc_done = spark.read.parquet(
@@ -312,48 +423,97 @@ def compact_tiers(
                 "skipped": True,
             }
             lineage["tiers"][tier] = report[tier]
-            continue
+    # ALL pending tiers compact in one pass (r8 verdict item 3 — the
+    # per-tier loop was 4 driver actions x tiers): one union counts
+    # source chunks per tier, one hash aggregation resolves newest-wins
+    # across every (tier, url, bucket), one encode job groups by the
+    # composite (tier, part) key — each applyInPandas group is still a
+    # single (tier, part) slice, so chunk bytes match per-tier encodes —
+    # and one partitionBy(encoded_tier, part) write lands the existing
+    # snap=<dest>/encoded_tier=<t>/part=<p> layout.
+    todo = tuple(t for t in tiers if t not in done_tiers)
+    if todo:
         t0 = time.perf_counter()
-        decs = []
-        src_meta = None
-        for ord_, sid in enumerate(snapshot_ids):
-            enc = spark.read.parquet(
-                os.path.join(out_dir, f"snap={sid}", f"encoded_tier={tier}")
-            )
-            m = enc.select(F.lit(1).alias("one"))
-            src_meta = m if src_meta is None else src_meta.unionAll(m)
-            dec = (
-                decode_series_container(enc, key_cols=["url"], value_cols=MEASURES)
-                if "keys" in enc.columns
-                else decode_series(enc, key_cols=["url"], value_cols=MEASURES)
-            )
-            decs.append(dec.withColumn("_snap_ord", F.lit(ord_)))
-        # one job counts source chunks across all snapshots (was one per)
-        src_chunks = src_meta.count()
+        dest_dir = os.path.join(out_dir, f"snap={dest_snapshot_id}")
+        decs, metas = [], []
+        for tier in todo:
+            for ord_, sid in enumerate(snapshot_ids):
+                enc = spark.read.parquet(
+                    os.path.join(out_dir, f"snap={sid}", f"encoded_tier={tier}")
+                )
+                # fall back to counting chunk rows only for sources the
+                # manifest does not cover (manifest-less stores)
+                if (tier, sid) not in src_covered:
+                    metas.append(enc.select(F.lit(tier).alias("tier")))
+                dec = (
+                    decode_series_container(enc, key_cols=["url"], value_cols=MEASURES)
+                    if "keys" in enc.columns
+                    else decode_series(enc, key_cols=["url"], value_cols=MEASURES)
+                )
+                # fixed column set: container decode passes extra columns
+                # (the partition col) through, per-series decode does not —
+                # normalize so mixed-format stores union cleanly
+                decs.append(
+                    dec.withColumn("_snap_ord", F.lit(ord_))
+                    .withColumn("tier", F.lit(tier))
+                    .select("tier", "url", "bucket", *MEASURES, "_snap_ord")
+                )
+        if metas:
+            src_meta = metas[0]
+            for m in metas[1:]:
+                src_meta = src_meta.unionAll(m)
+            for r in src_meta.groupBy("tier").count().collect():
+                src_chunks[r["tier"]] = src_chunks.get(r["tier"], 0) + r["count"]
         merged = decs[0]
         for d in decs[1:]:
             merged = merged.unionByName(d)
-        # newest-snapshot-wins per (url, bucket): one hash aggregation
-        merged = merged.groupBy("url", "bucket").agg(
+        # newest-snapshot-wins per (tier, url, bucket): one hash aggregation
+        merged = merged.groupBy("tier", "url", "bucket").agg(
             *[F.max_by(c, "_snap_ord").alias(c) for c in MEASURES]
         )
+        tier_idx = {t: i for i, t in enumerate(todo)}
+        tier_arr = F.array(*[F.lit(t) for t in todo])
         merged = merged.withColumn(
             "part", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
-        )
-        enc_path = os.path.join(
-            out_dir, f"snap={dest_snapshot_id}", f"encoded_tier={tier}"
+        ).withColumn(
+            "_tp",
+            (F.array_position(tier_arr, F.col("tier")) - 1) * n_buckets
+            + F.col("part"),
         )
         enc = encode_series_container(
             merged,
             key_cols=["url"],
-            part_col="part",
+            part_col="_tp",
             value_cols=MEASURES,
             chunk_rows=chunk_rows,
         )
-        enc.write.partitionBy("part").mode("overwrite").parquet(enc_path)
-        enc_done = spark.read.parquet(enc_path)
+        enc = (
+            enc.withColumn(
+                "encoded_tier",
+                F.element_at(tier_arr, F.expr(f"cast(_tp DIV {n_buckets} AS int) + 1")),
+            )
+            .withColumn("part", F.pmod(F.col("_tp"), F.lit(n_buckets)).cast("int"))
+            .drop("_tp")
+        )
+        enc.write.partitionBy("encoded_tier", "part").mode("overwrite").parquet(
+            dest_dir
+        )
+        # one stats job over all written tiers -> manifest append from
+        # local rows; the report's totals derive from the same rows
+        stats_frames = []
+        for tier in todo:
+            e = spark.read.parquet(os.path.join(dest_dir, f"encoded_tier={tier}"))
+            stats_frames.append(
+                e.select(
+                    "part", "n", "raw_bytes", "comp_bytes", "encode_secs",
+                    "start_bucket",
+                ).withColumn("tier", F.lit(tier))
+            )
+        su = stats_frames[0]
+        for f in stats_frames[1:]:
+            su = su.unionByName(f)
         stats = (
-            enc_done.groupBy("part")
+            su.groupBy("tier", "part")
             .agg(
                 F.count(F.lit(1)).alias("n_chunks"),
                 F.sum("n").alias("n_rows"),
@@ -362,24 +522,25 @@ def compact_tiers(
                 F.sum("encode_secs").alias("encode_secs"),
                 F.min("start_bucket").alias("min_bucket"),
             )
-            .withColumn("tier", F.lit(tier))
             .withColumn("snapshot_id", F.lit(dest_snapshot_id))
             .withColumn("wall_secs", F.lit(time.perf_counter() - t0))
+            .select(
+                "part", "n_chunks", "n_rows", "raw_bytes", "comp_bytes",
+                "encode_secs", "min_bucket", "tier", "snapshot_id", "wall_secs",
+            )
         )
-        # collect the per-part stats once (one pass over the chunk
-        # metadata), append them to the manifest from local rows, and
-        # derive the report's totals from the same rows — the prior
-        # shape traversed enc_done twice (stats write + a second agg)
         stats_rows = stats.collect()
         spark.createDataFrame(stats_rows, stats.schema).write.mode(
             "append"
         ).parquet(_manifest_path(out_dir))
-        report[tier] = {
-            "src_chunks": src_chunks,
-            "dst_chunks": sum(r["n_chunks"] for r in stats_rows),
-            "rows": sum(r["n_rows"] for r in stats_rows),
-        }
-        lineage["tiers"][tier] = report[tier]
+        for tier in todo:
+            rows_t = [r for r in stats_rows if r["tier"] == tier]
+            report[tier] = {
+                "src_chunks": src_chunks.get(tier, 0),
+                "dst_chunks": sum(r["n_chunks"] for r in rows_t),
+                "rows": sum(r["n_rows"] for r in rows_t),
+            }
+            lineage["tiers"][tier] = report[tier]
     lin_path = os.path.join(out_dir, f"snap={dest_snapshot_id}", "lineage.json")
     if urlparse(out_dir).scheme in ("", "file"):
         with open(lin_path, "w") as f:
@@ -467,25 +628,33 @@ def expire_tier(
         _recover_swap(_manifest_path(out_dir), ".rewriting", ".old")
     enc = spark.read.parquet(enc_path)
     keep = enc.where(F.col("end_bucket") >= F.lit(older_than))
-    # one metadata pass for total/kept/dropped (this frame is chunk
-    # metadata — tiny — but at 10^12-doc scale it is still millions of
-    # chunk rows; three separate jobs over it were pure scheduler tax)
+    # ONE metadata pass yields the drop totals AND the surviving-chunk
+    # manifest stats per part (this frame is chunk metadata — tiny — but
+    # at 10^12-doc scale it is still millions of chunk rows; separate
+    # jobs over it, or a post-swap re-read of the store, were pure
+    # scheduler tax). <= n_buckets rows come back to the driver.
     _dead = F.col("end_bucket") < F.lit(older_than)
-    _m = enc.agg(
+    _live = ~_dead
+    per_part = enc.groupBy("part").agg(
         F.count(F.lit(1)).alias("total"),
         F.sum(F.when(_dead, 1).otherwise(0)).alias("dropped"),
         F.sum(F.when(_dead, F.col("n"))).alias("r"),
         F.sum(F.when(_dead, F.col("raw_bytes"))).alias("b"),
-    ).collect()[0]
-    total = _m["total"]
-    kept = total - int(_m["dropped"] or 0)
-    dropped_rows = _m
+        F.sum(F.when(_live, 1).otherwise(0)).alias("n_chunks"),
+        F.sum(F.when(_live, F.col("n"))).alias("n_rows"),
+        F.sum(F.when(_live, F.col("raw_bytes"))).alias("raw_bytes"),
+        F.sum(F.when(_live, F.col("comp_bytes"))).alias("comp_bytes"),
+        F.sum(F.when(_live, F.col("encode_secs"))).alias("encode_secs"),
+        F.min(F.when(_live, F.col("start_bucket"))).alias("min_bucket"),
+    ).collect()
+    total = sum(r["total"] for r in per_part)
+    kept = total - sum(int(r["dropped"] or 0) for r in per_part)
     report = {
         "tier": tier,
         "chunks_total": total,
         "chunks_dropped": total - kept,
-        "rows_dropped": int(dropped_rows["r"] or 0),
-        "raw_bytes_dropped": int(dropped_rows["b"] or 0),
+        "rows_dropped": sum(int(r["r"] or 0) for r in per_part),
+        "raw_bytes_dropped": sum(int(r["b"] or 0) for r in per_part),
         "dry_run": dry_run,
     }
     # A prior run may have crashed after swapping the encoded dir but
@@ -524,20 +693,25 @@ def expire_tier(
     # reconciliation keep counting the expired chunks' bytes and rows
     man = man0
     if man is not None:
-        enc_done = spark.read.parquet(enc_path)
-        fresh = (
-            enc_done.groupBy("part")
-            .agg(
-                F.count(F.lit(1)).alias("n_chunks"),
-                F.sum("n").alias("n_rows"),
-                F.sum("raw_bytes").alias("raw_bytes"),
-                F.sum("comp_bytes").alias("comp_bytes"),
-                F.sum("encode_secs").alias("encode_secs"),
-                F.min("start_bucket").alias("min_bucket"),
+        # the swapped-in store is exactly the surviving chunks, whose
+        # per-part stats already came back in the single metadata pass
+        # above — build the fresh manifest rows locally (<= n_buckets of
+        # them) instead of re-reading the written parquet
+        fresh_rows = [
+            (
+                r["part"], int(r["n_chunks"]), int(r["n_rows"] or 0),
+                int(r["raw_bytes"] or 0), int(r["comp_bytes"] or 0),
+                float(r["encode_secs"] or 0.0), r["min_bucket"],
+                tier, snapshot_id, 0.0,
             )
-            .withColumn("tier", F.lit(tier))
-            .withColumn("snapshot_id", F.lit(snapshot_id))
-            .withColumn("wall_secs", F.lit(0.0))
+            for r in per_part
+            if int(r["n_chunks"] or 0) > 0
+        ]
+        fresh = spark.createDataFrame(
+            fresh_rows,
+            "part int, n_chunks long, n_rows long, raw_bytes long,"
+            " comp_bytes long, encode_secs double, min_bucket timestamp,"
+            " tier string, snapshot_id string, wall_secs double",
         )
         others = man.where(
             ~((F.col("tier") == tier) & (F.col("snapshot_id") == snapshot_id))

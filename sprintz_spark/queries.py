@@ -597,12 +597,19 @@ def _staged_lifecycle_store(spark, sf_dir) -> str:
     split = dt.datetime(2024, 1, 16)  # day boundary: disjoint buckets per tier
     cutoff = dt.datetime(2024, 1, 15)
     out = _scratch_dir("retention_lifecycle_")
+    # STAGING-ONLY cache: both snapshot ingests filter the same synthetic
+    # pages frame, so without it the events scan + html synthesis runs
+    # twice. This is test-fixture staging (a real deployment ingests each
+    # snapshot's pages exactly once as they arrive); the engine under
+    # test (run_retention et al.) never caches raw pages.
+    pages = pages.cache()
     # scale-adaptive chunking: ~1200 chunks at any SF (a real store sizes
     # chunk_rows to target chunk bytes, not a constant row count). Floor 8
     # keeps the sf0.001 series fragmented enough that expiry has whole
     # chunks to drop and compaction has fragments to merge; at sf0.1 this
-    # is ~80 rows/chunk instead of 5.6k eight-row chunks (3x wall).
-    chunk_rows = max(8, _t(spark, sf_dir, "events").count() // 1200)
+    # is ~80 rows/chunk instead of 5.6k eight-row chunks (3x wall). The
+    # count doubles as the cache materialization.
+    chunk_rows = max(8, pages.count() // 1200)
     # per-series chunk format (container_tiers=()): containers never split
     # a series, so their chunks span the series\' whole time range and TTL
     # has nothing whole to drop — row-sliced per-series chunks are the
@@ -639,6 +646,7 @@ def _staged_lifecycle_store(spark, sf_dir) -> str:
                 f"retention_lifecycle: compaction did not merge {tier} chunks "
                 f"({comp[tier]['src_chunks']} -> {comp[tier]['dst_chunks']})"
             )
+    pages.unpersist()
     _SHARED_STAGE[key] = out
     return out
 
@@ -4823,7 +4831,11 @@ def _staged_conflict_store(spark, sf_dir) -> str:
     if cached is not None:
         return cached
     lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 14)
-    ev = _t(spark, sf_dir, "events")
+    # STAGING-ONLY cache of the events projection both synthetic
+    # snapshots derive from (the two pages frames differ in their html
+    # expression, so the cache sits below it) — same rationale as the
+    # lifecycle store's pages cache: fixture staging, not engine caching.
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value").cache()
 
     def pages(nbytes_sql):
         return ev.select(
@@ -4846,6 +4858,7 @@ def _staged_conflict_store(spark, sf_dir) -> str:
     RT.compact_tiers(
         spark, out, ["s1", "s2"], "c1", tiers=("1h", "1d"), n_buckets=4
     )
+    ev.unpersist()
     _SHARED_STAGE[key] = out
     return out
 
