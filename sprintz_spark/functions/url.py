@@ -4,10 +4,13 @@ All pure Column expressions (JVM-side, whole-stage-codegen — no Python
 in the hot path), designed for the pages/url surface of the input_hint
 schema. Two users:
 
-  * ``host_of`` — registrable host for per-site rollups (strip the
-    ``www.`` alias, lowercase); a production system would swap in a
-    public-suffix list for eTLD+1, which is a broadcast map lookup with
-    the same plan shape.
+  * ``host_of`` — registrable host (eTLD+1) for per-site rollups:
+    longest-suffix match against a bundled public-suffix-list snapshot
+    (functions/psl_snapshot.py), so ``a.shop.co.uk`` rolls up to
+    ``shop.co.uk``, not ``co.uk``. ``Column.isin`` over the rule set
+    compiles to a JVM ``InSet`` — flat-cost hash lookup inside
+    whole-stage codegen, which is why the full ~9k-rule PSL drops in
+    with zero plan change.
   * ``canonicalize`` — crawl-frontier URL canonicalization: lowercase
     the scheme://host head, drop the fragment, strip tracking params
     (``utm_*``), drop an emptied ``?``. Frontier dedup and re-crawl
@@ -23,9 +26,34 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def registrable_host(host: Column) -> Column:
+    """eTLD+1 of a (possibly mixed-case) hostname: longest matching
+    public suffix from the bundled PSL snapshot, plus one label. When no
+    multi-label rule matches, the last two labels — the PSL's default
+    ``*`` rule, which also subsumes the old ``www.``-strip heuristic
+    (``www.example.org`` -> ``example.org``). ``substring_index`` with a
+    negative count returns the whole string when the host has fewer
+    labels than asked, so bare/short hosts fall through unharmed; the
+    DuckDB oracle mirrors that with last-k-label regexes + coalesce."""
+    from sprintz_spark.functions.psl_snapshot import (
+        THREE_LABEL_SUFFIXES,
+        TWO_LABEL_SUFFIXES,
+    )
+
+    h = F.lower(host)
+    last2 = F.substring_index(h, ".", -2)
+    last3 = F.substring_index(h, ".", -3)
+    last4 = F.substring_index(h, ".", -4)
+    return (
+        F.when(last3.isin(*THREE_LABEL_SUFFIXES), last4)
+        .when(last2.isin(*TWO_LABEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
 def host_of(url: Column) -> Column:
-    """Registrable host: parse, lowercase, strip a leading ``www.``."""
-    return F.regexp_replace(F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", "")
+    """Registrable host (eTLD+1) of a URL — see ``registrable_host``."""
+    return registrable_host(F.parse_url(url, F.lit("HOST")))
 
 
 def strip_query_fragment(url: Column) -> Column:

@@ -4596,9 +4596,17 @@ FROM events GROUP BY 1, 2
 
 _SYNTH_URL_SQL = """
   'https://'
-  || CASE WHEN user_id % 3 = 0 THEN 'www.' ELSE '' END
+  || CASE WHEN user_id % 3 = 0 THEN 'www.'
+          WHEN user_id % 3 = 1 THEN 'crawl' || (user_id % 5) || '.'
+          ELSE '' END
   || CASE WHEN user_id % 4 = 0 THEN 'S' ELSE 's' END
-  || (user_id % 17) || '.example.org/p/' || (event_id % 1000)
+  || (user_id % 17)
+  || CASE WHEN user_id % 5 = 0 THEN '.co.uk'
+          WHEN user_id % 5 = 1 THEN '.example.org'
+          WHEN user_id % 5 = 2 THEN '.com.au'
+          WHEN user_id % 5 = 3 THEN '.de'
+          ELSE '.k12.ca.us' END
+  || '/p/' || (event_id % 1000)
   || CASE WHEN event_id % 5 = 0 THEN '?utm_source=feed&id=' || (event_id % 100)
           WHEN event_id % 5 = 1 THEN '?id=' || (event_id % 100)
           WHEN event_id % 5 = 2 THEN '?utm_campaign=x'
@@ -4610,10 +4618,20 @@ _SYNTH_URL_SQL = """
 def _synth_url():
     return F.concat(
         F.lit("https://"),
-        F.when(F.col("user_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("user_id") % 3 == 0, F.lit("www."))
+        .when(
+            F.col("user_id") % 3 == 1,
+            F.concat(F.lit("crawl"), (F.col("user_id") % 5).cast("string"), F.lit(".")),
+        )
+        .otherwise(F.lit("")),
         F.when(F.col("user_id") % 4 == 0, F.lit("S")).otherwise(F.lit("s")),
         (F.col("user_id") % 17).cast("string"),
-        F.lit(".example.org/p/"),
+        F.when(F.col("user_id") % 5 == 0, F.lit(".co.uk"))
+        .when(F.col("user_id") % 5 == 1, F.lit(".example.org"))
+        .when(F.col("user_id") % 5 == 2, F.lit(".com.au"))
+        .when(F.col("user_id") % 5 == 3, F.lit(".de"))
+        .otherwise(F.lit(".k12.ca.us")),
+        F.lit("/p/"),
         (F.col("event_id") % 1000).cast("string"),
         F.when(
             F.col("event_id") % 5 == 0,
@@ -4630,6 +4648,34 @@ def _synth_url():
         .otherwise(F.lit("")),
         F.when(F.col("event_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
+
+
+def _host_sql(url_expr: str = "url") -> str:
+    """DuckDB mirror of functions/url.py registrable_host(parse_url):
+    lowercased host, then the longest-PSL-suffix CASE over the same
+    bundled rule lists (psl_snapshot.sql_in_list). regexp_extract of the
+    last k labels returns '' when the host has fewer labels — coalesce
+    falls back to the whole host, matching Spark substring_index."""
+    from sprintz_spark.functions.psl_snapshot import (
+        THREE_LABEL_SUFFIXES,
+        TWO_LABEL_SUFFIXES,
+        sql_in_list,
+    )
+
+    hl = f"lower(regexp_extract({url_expr}, '^https?://([^/?#]+)', 1))"
+    last = lambda k: (  # noqa: E731
+        "coalesce(nullif(regexp_extract("
+        + hl
+        + ", '("
+        + r"[^.]+\." * (k - 1)
+        + "[^.]+)$', 1), ''), "
+        + hl
+        + ")"
+    )
+    return f"""CASE
+      WHEN {last(3)} IN ({sql_in_list(THREE_LABEL_SUFFIXES)}) THEN {last(4)}
+      WHEN {last(2)} IN ({sql_in_list(TWO_LABEL_SUFFIXES)}) THEN {last(3)}
+      ELSE {last(2)} END"""
 
 
 def q_host_stats(spark, sf_dir):
@@ -4663,8 +4709,7 @@ _HOST_STATS_SQL = f"""
 WITH crawl AS (
   SELECT {_SYNTH_URL_SQL} AS url, length(props) AS nbytes FROM events
 )
-SELECT regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
-                      '^www\\.', '') AS host,
+SELECT {_host_sql()} AS host,
        count(*) AS n_crawls,
        count(DISTINCT regexp_extract(url, '^[^?#]+', 0)) AS n_pages,
        CAST(sum(nbytes) AS BIGINT) AS bytes_sum
@@ -4699,8 +4744,7 @@ WITH crawl AS (
   SELECT {_SYNTH_URL_SQL} AS url FROM events
 ), canon AS (
   SELECT url,
-         regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
-                        '^www\\.', '') AS host,
+         {_host_sql()} AS host,
          lower(regexp_extract(u2, '^((?i:https?)://[^/?#]+)', 1))
            || substr(u2, length(regexp_extract(u2, '^((?i:https?)://[^/?#]+)', 1)) + 1)
            AS canon

@@ -19,19 +19,28 @@ def _plan(df) -> str:
 
 
 CASES = [
-    # (raw, host, canonical)
+    # (raw, registrable host (eTLD+1), canonical)
     (
         "https://WWW.Site7.Example.org/p/5?utm_source=feed&id=42#frag",
-        "site7.example.org",
+        "example.org",
         "https://www.site7.example.org/p/5?id=42",
     ),
     (
         "https://sub.a.example/p/1?utm_campaign=x",
-        "sub.a.example",
+        "a.example",
         "https://sub.a.example/p/1",
     ),
     ("http://a.example/x?id=3&utm_medium=m", "a.example", "http://a.example/x?id=3"),
     ("https://a.example/x", "a.example", "https://a.example/x"),
+    # PSL snapshot: ccTLD second-level registries must keep one label
+    # beyond the PUBLIC suffix, not one beyond the TLD
+    ("https://a.shop.co.uk/x", "shop.co.uk", "https://a.shop.co.uk/x"),
+    ("https://WWW.Firm.COM.AU/x", "firm.com.au", "https://www.firm.com.au/x"),
+    # three-label public suffix
+    ("https://east.lincoln.k12.ca.us/x", "lincoln.k12.ca.us",
+     "https://east.lincoln.k12.ca.us/x"),
+    # plain ccTLD falls through to the default last-2 rule
+    ("https://blog.site.de/x", "site.de", "https://blog.site.de/x"),
 ]
 
 
@@ -180,6 +189,10 @@ def test_url_query_plans_stay_jvm_side(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
         assert "HashAggregate" in plan
+        # the PSL lookup is an InSet inside codegen, not a join: the plan
+        # must keep exactly the two aggregate exchanges (partial agg for
+        # the distinct, final agg on host), no extra shuffle
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
 def test_revisit_intervals_single_exchange(spark):
