@@ -25,7 +25,11 @@ Spark executes as a SINGLE task — the classic 100-TB scale-killer. So
 
 Cost: one extra map-side-combined agg + one broadcast join versus the
 single-task window; the collect is bounded by ``max_buckets`` (4096 rows
-of (bucket, subtotal)), independent of table size.
+of (bucket, subtotal)), independent of table size. A skew guard
+re-buckets any bucket holding > 8x the uniform row share at finer width
+(one additional agg over hot rows only — see phase 1.5 in
+``global_prefix_sum``), so a dense id cluster cannot serialize half the
+window work in one task.
 
 Reference parity: the reference engine has no sharding operator — this
 belongs to the "operations a large-scale training-data pipeline needs"
@@ -82,29 +86,94 @@ def global_prefix_sum(
     bucketed = df.withColumn(
         "_psum_bucket", F.expr(f"({order_col} - {int(lo)}L) DIV {width}L")
     )
-    # phase 1: per-bucket subtotals (map-side combined, <= max_buckets rows)
-    subtotals = (
+    # phase 1: per-bucket subtotals AND row counts (map-side combined,
+    # <= max_buckets rows; the count is free in the same agg and drives
+    # the hot-bucket refinement below)
+    subtotals = sorted(
         bucketed.groupBy("_psum_bucket")
-        .agg(F.sum(value_col).alias("_psum_sub"))
-        .collect()
+        .agg(
+            F.sum(value_col).alias("_psum_sub"),
+            F.count(F.lit(1)).alias("_psum_cnt"),
+        )
+        .collect(),
+        key=lambda r: r["_psum_bucket"],
     )
+    # phase 1.5 — hot-bucket refinement (skew guard): equal-WIDTH ranges
+    # balance rows only when keys are ~uniform over their span. If the id
+    # space is dense in one narrow range (snowflake ids from one hot
+    # ingest hour), one bucket can hold half the table and its window
+    # task becomes a straggler AQE cannot split (AQE never subdivides a
+    # window partition; measured 1.5x wall at 40M rows with 50% in one
+    # bucket, growing linearly — scripts/scale_rehearsal_packing.py).
+    # Any bucket holding > 8x the uniform share is re-bucketed at finer
+    # width sized to its own count, via ONE extra agg restricted to hot
+    # rows. Collected rows stay bounded: sum(ceil(cnt/mean)) <=
+    # ~2*max_buckets fine groups total. Keys repeating adversarially at
+    # a SINGLE value cannot be split below width=1 (unique order_col
+    # makes that a non-issue). No hot buckets -> no extra job, plan
+    # identical to the unrefined path.
+    mean = max(1, n_all // max_buckets)
+    hot = {
+        int(r["_psum_bucket"]): int(r["_psum_cnt"])
+        for r in subtotals
+        if r["_psum_cnt"] > 8 * mean and width > 1
+    }
+    fine_map: dict = {}
+    if hot:
+        spec = [
+            (b, max(1, width // min(max_buckets, -(-cnt // mean))))
+            for b, cnt in hot.items()
+        ]
+        spec_df = spark.createDataFrame(spec, "_psum_bucket long, _psum_fw long")
+        sub_expr = F.expr(
+            f"(({order_col} - {int(lo)}L) % {width}L) DIV _psum_fw"
+        )
+        fine = (
+            bucketed.join(F.broadcast(spec_df), "_psum_bucket")
+            .withColumn("_psum_sb", sub_expr)
+            .groupBy("_psum_bucket", "_psum_sb")
+            .agg(F.sum(value_col).alias("_psum_sub"))
+            .collect()
+        )
+        for r in fine:
+            fine_map.setdefault(int(r["_psum_bucket"]), []).append(
+                (int(r["_psum_sb"]), int(r["_psum_sub"] or 0))
+            )
+        bucketed = (
+            bucketed.join(F.broadcast(spec_df), "_psum_bucket", "left")
+            .withColumn(
+                "_psum_sb",
+                F.when(F.col("_psum_fw").isNull(), F.lit(0)).otherwise(sub_expr),
+            )
+            .drop("_psum_fw")
+        )
+    else:
+        bucketed = bucketed.withColumn("_psum_sb", F.lit(0).cast("long"))
     # phase 2: exclusive offsets via a driver-side scan of the tiny list
     run = 0
     offsets = []
-    for r in sorted(subtotals, key=lambda r: r["_psum_bucket"]):
-        offsets.append((r["_psum_bucket"], run))
-        run += int(r["_psum_sub"] or 0)
-    off_df = spark.createDataFrame(offsets, "_psum_bucket long, _psum_off long")
-    # phase 3: intra-bucket running sum, every bucket in parallel
+    for r in subtotals:
+        b = int(r["_psum_bucket"])
+        if b in fine_map:
+            for sb, subtot in sorted(fine_map[b]):
+                offsets.append((b, sb, run))
+                run += subtot
+        else:
+            offsets.append((b, 0, run))
+            run += int(r["_psum_sub"] or 0)
+    off_df = spark.createDataFrame(
+        offsets, "_psum_bucket long, _psum_sb long, _psum_off long"
+    )
+    # phase 3: intra-(sub)bucket running sum, every bucket in parallel
     w = (
-        Window.partitionBy("_psum_bucket")
+        Window.partitionBy("_psum_bucket", "_psum_sb")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        bucketed.join(F.broadcast(off_df), "_psum_bucket")
+        bucketed.join(F.broadcast(off_df), ["_psum_bucket", "_psum_sb"])
         .withColumn(out_col, F.sum(value_col).over(w) + F.col("_psum_off"))
-        .drop("_psum_bucket", "_psum_off")
+        .drop("_psum_bucket", "_psum_sb", "_psum_off")
     )
 
 
