@@ -253,8 +253,10 @@ def main() -> None:
         # Janino codegen). Read per-query deltas vs the prior round
         # against the rotation order, not as regressions.
         "bench_order_note": "per-query times order-dependent: "
-        "shared-stage (dedup_clusters/cluster_representatives) and "
-        "first-shape codegen ride rotation order — see PLANS.md §10",
+        "shared-stage (dedup_clusters/cluster_representatives; staged "
+        "tier stores; shared stream source), first-shape codegen, and "
+        "the ~4.9s first-streaming-gate cold-start all ride rotation "
+        "order — see PLANS.md §10/§13",
         **extra,
     }
     # Parse-proofing, round 3 of: the driver records only the LAST 2000
