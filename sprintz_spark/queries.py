@@ -2122,7 +2122,14 @@ def q_range_join_concurrency(spark, sf_dir):
         .select("s_start", "s_end")
     )
     pts = ev.distinct()
-    pairs = range_join_binned(pts, bounds, "ts", "s_start", "s_end")
+    # bin ~ the typical interval span (operators/ranges.py docstring):
+    # sessions close after a 30-min gap, so spans are minutes-to-an-hour
+    # (sf0.1: p99 span ~24 min, max ~67 min) — hour bins cut the
+    # candidate join volume ~24x vs the operator's day-bin default for
+    # identical output (r10 A/B: 4.8 s -> 0.9-1.3 s at sf0.1)
+    pairs = range_join_binned(
+        pts, bounds, "ts", "s_start", "s_end", bin_seconds=3600
+    )
     return (
         pairs.groupBy("user_id", "ts")
         .agg(F.count(F.lit(1)).alias("concurrency"))
