@@ -25,6 +25,7 @@ cascade encodes each tier from the materialized finer tier (1m parquet →
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +41,15 @@ from sprintz_spark.operators.encode import (
 )
 
 MEASURES = ["crawl_count", "byte_size_sum", "byte_size_max", "byte_size_min"]
+
+# Serializes manifest-directory mutations (appends, rewrites) within one
+# driver process so INDEPENDENT snapshots can ingest concurrently (guide
+# §2.6 overlap — e.g. two run_retention calls from a small thread pool):
+# concurrent append jobs to the SAME output path would race on the
+# FileOutputCommitter's shared _temporary staging dir. A metastore/
+# Iceberg deployment gets this from the catalog's commit protocol; the
+# parquet-dir manifest needs the explicit lock.
+_MANIFEST_LOCK = threading.Lock()
 
 
 def _recover_swap(path: str, staged_suffix: str, old_suffix: str) -> str | None:
@@ -210,17 +220,21 @@ def run_retention(
         ]
         if not todo:
             continue
-        frames = []
+        # ONE partition-discovery scan over all pending tiers (the
+        # series_tier dir name becomes a partition column) instead of a
+        # per-tier read + union: same rows, one scan subtree in the plan
+        s = spark.read.option("basePath", snap_dir).parquet(
+            *[_series_path(t) for t in todo]
+        )
+        keep = None
         for t in todo:
-            s = spark.read.parquet(_series_path(t)).where(
-                F.col("part").isin(pending[t])
-            )
-            frames.append(
-                s.withColumn("_tp", (F.lit(tier_idx[t] * n_buckets) + F.col("part")))
-            )
-        u = frames[0]
-        for f in frames[1:]:
-            u = u.unionByName(f)
+            c = (F.col("series_tier") == t) & F.col("part").isin(pending[t])
+            keep = c if keep is None else (keep | c)
+        u = s.where(keep).withColumn(
+            "_tp",
+            (F.array_position(tier_arr, F.col("series_tier")) - 1) * n_buckets
+            + F.col("part"),
+        ).drop("series_tier")
         encoder = encode_series_container if is_container else encode_series
         enc = encoder(
             u,
@@ -241,21 +255,24 @@ def run_retention(
             snap_dir
         )
 
-    # manifest rows for every written tier from one stats job
-    stats_frames = []
-    for t in tiers:
-        if not pending[t]:
-            continue
-        e = spark.read.parquet(_enc_path(t)).where(F.col("part").isin(pending[t]))
-        stats_frames.append(
-            e.select(
-                "part", "n", "raw_bytes", "comp_bytes", "encode_secs", "start_bucket"
-            ).withColumn("tier", F.lit(t))
+    # manifest rows for every written tier from one stats job over ONE
+    # partition-discovery scan (encoded_tier/part are dir-name partition
+    # columns — no per-tier read + union)
+    written = [t for t in tiers if pending[t]]
+    if written:
+        su = (
+            spark.read.option("basePath", snap_dir)
+            .parquet(*[_enc_path(t) for t in written])
+            .withColumn("tier", F.col("encoded_tier"))
         )
-    if stats_frames:
-        su = stats_frames[0]
-        for f in stats_frames[1:]:
-            su = su.unionByName(f)
+        keep = None
+        for t in written:
+            c = (F.col("tier") == t) & F.col("part").isin(pending[t])
+            keep = c if keep is None else (keep | c)
+        su = su.where(keep).select(
+            "tier", "part", "n", "raw_bytes", "comp_bytes", "encode_secs",
+            "start_bucket",
+        )
         stats = (
             su.groupBy("tier", "part")
             .agg(
@@ -273,7 +290,8 @@ def run_retention(
                 "encode_secs", "min_bucket", "tier", "snapshot_id", "wall_secs",
             )
         )
-        stats.write.mode("append").parquet(_manifest_path(out_dir))
+        with _MANIFEST_LOCK:
+            stats.write.mode("append").parquet(_manifest_path(out_dir))
     return {
         tier: {
             "parts_written": len(pending[tier]),
@@ -435,29 +453,48 @@ def compact_tiers(
     if todo:
         t0 = time.perf_counter()
         dest_dir = os.path.join(out_dir, f"snap={dest_snapshot_id}")
-        decs, metas = [], []
+        # ONE partition-discovery read per wire format (snap / encoded_tier
+        # become partition columns from the dir names) instead of a decode
+        # subtree per (tier, snapshot) — a 3-tier x 2-snapshot compact used
+        # to union 6 mapInPandas branches; now it is 1 per format present.
+        by_fmt: dict[bool, list[tuple[str, str, str]]] = {}
         for tier in todo:
-            for ord_, sid in enumerate(snapshot_ids):
-                enc = spark.read.parquet(
-                    os.path.join(out_dir, f"snap={sid}", f"encoded_tier={tier}")
-                )
-                # fall back to counting chunk rows only for sources the
-                # manifest does not cover (manifest-less stores)
+            for sid in snapshot_ids:
+                p = os.path.join(out_dir, f"snap={sid}", f"encoded_tier={tier}")
+                is_cont = "keys" in spark.read.parquet(p).columns
+                by_fmt.setdefault(is_cont, []).append((tier, sid, p))
+        sid_arr = F.array(*[F.lit(s) for s in snapshot_ids])
+        decs, metas = [], []
+        for is_cont, members in by_fmt.items():
+            enc = spark.read.option("basePath", out_dir).parquet(
+                *[p for _, _, p in members]
+            )
+            # fall back to counting chunk rows only for sources the
+            # manifest does not cover (manifest-less stores)
+            for tier, sid, _p in members:
                 if (tier, sid) not in src_covered:
-                    metas.append(enc.select(F.lit(tier).alias("tier")))
-                dec = (
-                    decode_series_container(enc, key_cols=["url"], value_cols=MEASURES)
-                    if "keys" in enc.columns
-                    else decode_series(enc, key_cols=["url"], value_cols=MEASURES)
+                    metas.append(
+                        enc.where(
+                            (F.col("encoded_tier") == tier)
+                            & (F.col("snap") == sid)
+                        ).select(F.col("encoded_tier").alias("tier"))
+                    )
+            dec = (
+                decode_series_container(enc, key_cols=["url"], value_cols=MEASURES)
+                if is_cont
+                else decode_series(
+                    enc, key_cols=["snap", "encoded_tier", "url"],
+                    value_cols=MEASURES,
                 )
-                # fixed column set: container decode passes extra columns
-                # (the partition col) through, per-series decode does not —
-                # normalize so mixed-format stores union cleanly
-                decs.append(
-                    dec.withColumn("_snap_ord", F.lit(ord_))
-                    .withColumn("tier", F.lit(tier))
-                    .select("tier", "url", "bucket", *MEASURES, "_snap_ord")
-                )
+            )
+            # fixed column set: container decode passes extra columns
+            # (snap / encoded_tier / part) through; normalize both formats
+            # to the same shape so mixed-format stores union cleanly
+            decs.append(
+                dec.withColumn("_snap_ord", F.array_position(sid_arr, F.col("snap")) - 1)
+                .withColumn("tier", F.col("encoded_tier"))
+                .select("tier", "url", "bucket", *MEASURES, "_snap_ord")
+            )
         if metas:
             src_meta = metas[0]
             for m in metas[1:]:
@@ -499,19 +536,18 @@ def compact_tiers(
             dest_dir
         )
         # one stats job over all written tiers -> manifest append from
-        # local rows; the report's totals derive from the same rows
-        stats_frames = []
-        for tier in todo:
-            e = spark.read.parquet(os.path.join(dest_dir, f"encoded_tier={tier}"))
-            stats_frames.append(
-                e.select(
-                    "part", "n", "raw_bytes", "comp_bytes", "encode_secs",
-                    "start_bucket",
-                ).withColumn("tier", F.lit(tier))
+        # local rows; the report's totals derive from the same rows.
+        # ONE partition-discovery scan (encoded_tier from dir names)
+        # replaces the per-tier read + union.
+        su = (
+            spark.read.option("basePath", dest_dir)
+            .parquet(*[os.path.join(dest_dir, f"encoded_tier={t}") for t in todo])
+            .withColumn("tier", F.col("encoded_tier"))
+            .select(
+                "tier", "part", "n", "raw_bytes", "comp_bytes", "encode_secs",
+                "start_bucket",
             )
-        su = stats_frames[0]
-        for f in stats_frames[1:]:
-            su = su.unionByName(f)
+        )
         stats = (
             su.groupBy("tier", "part")
             .agg(
@@ -530,9 +566,10 @@ def compact_tiers(
             )
         )
         stats_rows = stats.collect()
-        spark.createDataFrame(stats_rows, stats.schema).write.mode(
-            "append"
-        ).parquet(_manifest_path(out_dir))
+        with _MANIFEST_LOCK:
+            spark.createDataFrame(stats_rows, stats.schema).write.mode(
+                "append"
+            ).parquet(_manifest_path(out_dir))
         for tier in todo:
             rows_t = [r for r in stats_rows if r["tier"] == tier]
             report[tier] = {
@@ -683,7 +720,11 @@ def expire_tier(
 
     if total != kept:
         staged = enc_path + ".expiring"
-        keep.write.mode("overwrite").parquet(staged)
+        # preserve the ingest-time part=<p> directory layout (the rewrite
+        # used to flatten `part` back into the data files, so an expired
+        # tier lost partition pruning on part and mixed dir depths broke
+        # whole-store partition-discovery reads)
+        keep.write.partitionBy("part").mode("overwrite").parquet(staged)
         old = enc_path + ".expired"
         os.rename(enc_path, old)
         os.rename(staged, enc_path)
@@ -716,14 +757,15 @@ def expire_tier(
         others = man.where(
             ~((F.col("tier") == tier) & (F.col("snapshot_id") == snapshot_id))
         )
-        staged_m = _manifest_path(out_dir) + ".rewriting"
-        others.unionByName(fresh.select(*man.columns)).write.mode(
-            "overwrite"
-        ).parquet(staged_m)
-        old_m = _manifest_path(out_dir) + ".old"
-        os.rename(_manifest_path(out_dir), old_m)
-        os.rename(staged_m, _manifest_path(out_dir))
-        shutil.rmtree(old_m)
+        with _MANIFEST_LOCK:
+            staged_m = _manifest_path(out_dir) + ".rewriting"
+            others.unionByName(fresh.select(*man.columns)).write.mode(
+                "overwrite"
+            ).parquet(staged_m)
+            old_m = _manifest_path(out_dir) + ".old"
+            os.rename(_manifest_path(out_dir), old_m)
+            os.rename(staged_m, _manifest_path(out_dir))
+            shutil.rmtree(old_m)
     log_row = [
         (
             tier,

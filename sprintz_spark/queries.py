@@ -650,22 +650,34 @@ def _staged_lifecycle_store(spark, sf_dir) -> str:
     # a series, so their chunks span the series\' whole time range and TTL
     # has nothing whole to drop — row-sliced per-series chunks are the
     # format a TTL-tiered store keeps its finest tier in
-    RT.run_retention(
-        pages.where(F.col("warc_ts") < F.lit(split)),
-        out,
-        snapshot_id="s1",
-        n_buckets=4,
-        chunk_rows=chunk_rows,
-        container_tiers=(),
-    )
-    RT.run_retention(
-        pages.where(F.col("warc_ts") >= F.lit(split)),
-        out,
-        snapshot_id="s2",
-        n_buckets=4,
-        chunk_rows=chunk_rows,
-        container_tiers=(),
-    )
+    # the two snapshots are INDEPENDENT ingests (disjoint snap dirs;
+    # manifest appends serialized by retention._MANIFEST_LOCK): overlap
+    # them from a 2-thread pool (guide §2.6) so the second snapshot's
+    # jobs back-fill the idle cores of the first's fixed-overhead tail —
+    # exactly how a real fleet ingests concurrent snapshot waves
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ingest(args):
+        sid, pred = args
+        return RT.run_retention(
+            pages.where(pred),
+            out,
+            snapshot_id=sid,
+            n_buckets=4,
+            chunk_rows=chunk_rows,
+            container_tiers=(),
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _ingest,
+                [
+                    ("s1", F.col("warc_ts") < F.lit(split)),
+                    ("s2", F.col("warc_ts") >= F.lit(split)),
+                ],
+            )
+        )
     # TTL-expire the finest tier of the OLD snapshot before compaction
     # (the real lifecycle order: expiry trims history, compaction then
     # merges the survivors into one re-chunked snapshot)
@@ -4938,8 +4950,20 @@ def _staged_conflict_store(spark, sf_dir) -> str:
         (F.col("warc_ts") >= F.lit(lo)) & (F.col("warc_ts") < F.lit(hi))
     )
     out = _scratch_dir("snapshot_conflict_")
-    RT.run_retention(s1, out, snapshot_id="s1", tiers=("1h", "1d"), n_buckets=4)
-    RT.run_retention(s2, out, snapshot_id="s2", tiers=("1h", "1d"), n_buckets=4)
+    # independent snapshot ingests overlapped from a 2-thread pool (guide
+    # §2.6; manifest appends serialized by retention._MANIFEST_LOCK) —
+    # same rationale as _staged_lifecycle_store
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                lambda a: RT.run_retention(
+                    a[1], out, snapshot_id=a[0], tiers=("1h", "1d"), n_buckets=4
+                ),
+                [("s1", s1), ("s2", s2)],
+            )
+        )
     RT.compact_tiers(
         spark, out, ["s1", "s2"], "c1", tiers=("1h", "1d"), n_buckets=4
     )
