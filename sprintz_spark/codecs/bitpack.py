@@ -93,6 +93,22 @@ def pack_blocks(u: np.ndarray, nbits: np.ndarray, block: int = BLOCK) -> bytes:
             dst = offsets[idx][:, None] + np.arange(nbytes)
             payload[dst] = acc[:, :nbytes]
             continue
+        if b <= 32 and block == 8 and len(idx) >= 2048:
+            # 17-32-bit variant: sample j's bits span <= 5 bytes; shifted
+            # u64 lane OR-merged byte-wise (same gating rationale)
+            k = len(idx)
+            acc = np.zeros((k, nbytes + 4), dtype=np.uint8)
+            for j in range(block):
+                o = j * b
+                byte0 = o >> 3
+                v64 = vals[:, j].astype(np.uint64) << np.uint64(o & 7)
+                for byte_k in range(5):
+                    acc[:, byte0 + byte_k] |= (
+                        (v64 >> np.uint64(8 * byte_k)) & np.uint64(0xFF)
+                    ).astype(np.uint8)
+            dst = offsets[idx][:, None] + np.arange(nbytes)
+            payload[dst] = acc[:, :nbytes]
+            continue
         # little-endian byte view -> little-endian bit matrix -> first b bits
         byte_view = vals.reshape(-1, 1).view(np.uint8).reshape(len(idx), block, itemsize)
         bits = np.unpackbits(byte_view, axis=2, bitorder="little", count=b)
@@ -143,6 +159,31 @@ def unpack_blocks(
                     | (pad[:, byte0 + 2].astype(np.uint32) << np.uint32(16))
                 )
                 vals8[:, j] = (w32 >> sh) & mask
+            out[idx] = vals8.astype(_UNSIGNED[itemsize])
+            continue
+        if b <= 32 and block == 8 and itemsize >= 4:
+            # same shift-gather idea with a 5-byte little-endian window in
+            # u64 (b+7 <= 39 bits): one gather + shifts per sample lane
+            # instead of the 8x(w-bit) matrix expansion below — the
+            # 17-32-bit residual range is the timestamp-delta hot path
+            # (r10: ts decode was the single biggest decode_batch term)
+            k = len(idx)
+            pad = np.zeros((k, nbytes + 4), dtype=np.uint8)
+            pad[:, :nbytes] = packed
+            mask64 = np.uint64((1 << b) - 1)
+            vals8 = np.empty((k, block), dtype=np.uint64)
+            for j in range(block):
+                o = j * b
+                byte0 = o >> 3
+                sh = np.uint64(o & 7)
+                w64 = (
+                    pad[:, byte0].astype(np.uint64)
+                    | (pad[:, byte0 + 1].astype(np.uint64) << np.uint64(8))
+                    | (pad[:, byte0 + 2].astype(np.uint64) << np.uint64(16))
+                    | (pad[:, byte0 + 3].astype(np.uint64) << np.uint64(24))
+                    | (pad[:, byte0 + 4].astype(np.uint64) << np.uint64(32))
+                )
+                vals8[:, j] = (w64 >> sh) & mask64
             out[idx] = vals8.astype(_UNSIGNED[itemsize])
             continue
         bits = np.unpackbits(packed, axis=1, bitorder="little", count=block * b)

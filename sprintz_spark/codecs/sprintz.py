@@ -401,54 +401,269 @@ def _segmented_cumsum(d: np.ndarray, starts: np.ndarray, plens: np.ndarray) -> n
     return c - np.repeat(off, plens)
 
 
+def _group_pass(mode, w, idx, ns, plens, nbits_concat, payload_concat,
+                f_pos, f0_u, f1_u, out) -> None:
+    """Shared per-(mode, w) decode pass: unpack the concatenated payload,
+    scatter out-of-band firsts, run the mode's inverse transform, slice
+    each blob's values into ``out``. ``f_pos``/``f0_u``/``f1_u`` are the
+    value-domain positions and unsigned bit patterns of 'Y' firsts
+    (``f1_u`` pre-adjusted to the residual slot value, or None)."""
+    su = _UNSIGNED[w]
+    dst_starts = _cumsum0(plens)
+    z = bitpack.unpack_blocks(payload_concat, nbits_concat, su, BLOCK)
+    starts = dst_starts[:-1]
+    nonempty = plens > 0
+    s_idx = starts[nonempty]
+    if mode == "raw":
+        x = z
+    elif mode == "fire":
+        x = fire.fire_decode_multi(z, dst_starts, plens, w)
+    else:
+        d = zigzag.decode(z).view(su)
+        if f_pos is not None and len(f_pos):
+            d[f_pos] = f0_u.astype(su)
+            if mode == "doubledelta":
+                d[f_pos + 1] = f1_u.astype(su)
+        x = _segmented_cumsum(d, s_idx, plens[nonempty]) if len(d) else d
+        if mode == "doubledelta":
+            x = _segmented_cumsum(x, s_idx, plens[nonempty])
+    for i, lo, n in zip(idx, starts, ns):
+        out[i] = x[lo : lo + int(n)]
+
+
+def _uvarints_at(big, pos):
+    """Read one LEB128 varint starting at each position of ``pos`` —
+    vectorized across positions (<= 10 masked passes, one per varint
+    byte). Returns (values u64, positions after the varints)."""
+    m = len(pos)
+    vals = np.zeros(m, np.uint64)
+    cur = pos.astype(np.int64).copy()
+    if not m:
+        return vals, cur
+    active = np.arange(m)
+    shift = np.uint64(0)
+    while len(active):
+        b = big[cur[active]].astype(np.uint64)
+        vals[active] |= (b & np.uint64(0x7F)) << shift
+        cur[active] += 1
+        active = active[(b & np.uint64(0x80)) != 0]
+        shift += np.uint64(7)
+    return vals, cur
+
+
+# batchable compact-head modes (delta / doubledelta / fire / raw);
+# dyndelta / ewma / booldelta carry per-blob state and stay scalar
+_BATCH_MODES = frozenset((0, 1, 3, 4))
+_BATCH_MAX_RUNS = 128  # larger headers amortize the scalar parse fine
+
+
+def _decode_items(mode, w, items, out) -> None:
+    """Legacy per-blob-parsed route (v1 heads, deflated blobs, big
+    headers): items are (i, n, pad, nbits, payload, firsts) tuples."""
+    mask = (1 << w) - 1
+    nbits_concat = (
+        np.concatenate([it[3] for it in items]) if items else np.zeros(0, np.uint8)
+    )
+    payload_concat = b"".join(it[4] for it in items)
+    ns = np.array([it[1] for it in items], dtype=np.int64)
+    plens = ns + np.array([it[2] for it in items], dtype=np.int64)
+    starts = _cumsum0(plens)[:-1]
+    with_f = [
+        (k, it) for k, it in enumerate(items) if it[5] is not None and it[1]
+    ]
+    f_pos = np.array([starts[k] for k, _ in with_f], dtype=np.int64)
+    f0 = np.array([it[5][0] for _, it in with_f], dtype=np.uint64)
+    f1 = None
+    if mode == "doubledelta":
+        f1 = np.array(
+            [(it[5][1] - it[5][0]) & mask for _, it in with_f], dtype=np.uint64
+        )
+    _group_pass(
+        mode, w, [it[0] for it in items], ns, plens, nbits_concat,
+        payload_concat, f_pos, f0, f1, out,
+    )
+
+
 def decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
     """Decode MANY SZ1 blobs with shared numpy passes.
 
-    Blobs are grouped by (mode, width); each group's payloads/headers are
-    concatenated and decoded in one unpack + one segmented-cumsum (delta),
-    two (doubledelta), or one multi-series FIRE scan. Per-blob cost drops
-    from ~10 numpy calls to a couple of memoryview slices. Returns arrays
-    of the blob's stored unsigned dtype (callers .view()/offset as their
-    meta dictates)."""
+    Compact-head blobs ('Z'/'Y', the small-chunk wire format) are parsed
+    in vectorized passes over ONE concatenation of all blob bytes —
+    heads, varints, RLE headers and zero-extension all come from global
+    fancy indexing, so per-blob Python cost is a few list appends (the
+    per-blob ``_parse`` loop was >40% of decode wall on ~40-row chunks,
+    r10 profile). v1 heads, deflated blobs, per-blob-state modes
+    (dyndelta/ewma/booldelta) and over-large headers take the legacy
+    per-blob parse. Each (mode, width) group then decodes in one unpack
+    + segmented-cumsum/FIRE pass. Returns arrays of the blob's stored
+    unsigned dtype (callers .view()/offset as their meta dictates)."""
     out: list = [None] * len(blobs)
-    groups: dict = {}
+    batch: list = []
+    scalar: list = []
     for i, buf in enumerate(blobs):
+        b0 = buf[0]
+        if (b0 == MAGIC2 or b0 == MAGIC3) and ((buf[1] >> 5) in _BATCH_MODES):
+            batch.append(i)
+        else:
+            scalar.append(i)
+    groups: dict = {}
+    for i in scalar:
+        buf = blobs[i]
         mode, w, n, pad, extra, nbits, payload, firsts = _parse(buf)
-        if mode in ("dyndelta", "ewma", "booldelta"):  # per-blob state; rare paths
+        if mode in ("dyndelta", "ewma", "booldelta"):  # per-blob state
             out[i] = decode_column(buf)
             continue
         groups.setdefault((mode, w), []).append(
             (i, n, pad, nbits, _zero_extend(payload, nbits), firsts)
         )
+    if batch:
+        _decode_compact_batch(blobs, batch, groups, out)
     for (mode, w), items in groups.items():
-        su = _UNSIGNED[w]
-        mask = (1 << w) - 1
-        nbits_concat = np.concatenate([it[3] for it in items]) if items else np.zeros(0, np.uint8)
-        payload_concat = b"".join(it[4] for it in items)
-        plens = np.array([it[1] + it[2] for it in items], dtype=np.int64)
-        dst_starts = _cumsum0(plens)
-        z = bitpack.unpack_blocks(payload_concat, nbits_concat, su, BLOCK)
-        starts = dst_starts[:-1]
-        nonempty = plens > 0
-        s_idx = starts[nonempty]
-        if mode == "raw":
-            x = z
-        elif mode == "fire":
-            x = fire.fire_decode_multi(z, dst_starts, plens, w)
-        else:
-            d = zigzag.decode(z).view(su)
-            # scatter out-of-band firsts ('Y' blobs) into the residual stream
-            for (i, n, _pad, _nb, _pl, firsts), lo in zip(items, starts):
-                if firsts is not None and n:
-                    d[lo] = su(firsts[0])
-                    if mode == "doubledelta":
-                        d[lo + 1] = su((firsts[1] - firsts[0]) & mask)
-            x = _segmented_cumsum(d, s_idx, plens[nonempty]) if len(d) else d
-            if mode == "doubledelta":
-                x = _segmented_cumsum(x, s_idx, plens[nonempty])
-        for (i, n, _pad, _nb, _pl, _f), lo, hi in zip(items, dst_starts[:-1], dst_starts[1:]):
-            out[i] = x[lo : lo + n]
+        _decode_items(mode, w, items, out)
     return out
+
+
+def _decode_compact_batch(blobs, batch, groups, out) -> None:
+    """Vectorized parse of 'Z'/'Y' compact-head blobs; feeds each
+    (mode, w) group straight into _group_pass with gathered concat
+    arrays. Over-large headers (> _BATCH_MAX_RUNS runs) fall back to the
+    caller's ``groups`` dict (legacy per-blob parse)."""
+    m = len(batch)
+    L = np.fromiter((len(blobs[i]) for i in batch), np.int64, m)
+    # trailing guard bytes: the 2-byte run-length varint read below
+    # speculatively loads byte+1 even for 1-byte varints at a blob end
+    big = np.frombuffer(
+        b"".join([blobs[i] for i in batch] + [b"\x00\x00"]), np.uint8
+    )
+    offs = _cumsum0(L)[:-1]
+    packed = big[offs + 1].astype(np.int64)
+    mode_c = (packed >> 5).astype(np.int64)
+    w_arr = np.array([8, 16, 32, 64], np.int64)[(packed >> 3) & 3]
+    pads = (packed & 7).astype(np.int64)
+    is_y = big[offs] == MAGIC3
+    ns = (
+        big[offs + 2].astype(np.int64)
+        | (big[offs + 3].astype(np.int64) << 8)
+    ) + is_y  # 'Y' stores n-1
+    pos = (offs + 4).astype(np.int64)
+    zz0 = np.zeros(m, np.uint64)
+    zz1 = np.zeros(m, np.uint64)
+    y_sel = np.flatnonzero(is_y)
+    if len(y_sel):
+        v, p = _uvarints_at(big, pos[y_sel])
+        zz0[y_sel] = v
+        pos[y_sel] = p
+        dd_sel = y_sel[mode_c[y_sel] == 1]
+        if len(dd_sel):
+            v, p = _uvarints_at(big, pos[dd_sel])
+            zz1[dd_sel] = v
+            pos[dd_sel] = p
+    nruns = np.zeros(m, np.int64)
+    z_sel = np.flatnonzero(~is_y)
+    if len(z_sel):
+        nruns[z_sel] = big[pos[z_sel]]
+        pos[z_sel] += 1
+    if len(y_sel):
+        v, p = _uvarints_at(big, pos[y_sel])
+        nruns[y_sel] = v.astype(np.int64)
+        pos[y_sel] = p
+    # over-large headers -> legacy parse (bounded masked-pass loop below)
+    for j in np.flatnonzero(nruns > _BATCH_MAX_RUNS):
+        buf = blobs[batch[j]]
+        mode, w, n, pad, extra, nbits, payload, firsts = _parse(buf)
+        groups.setdefault((mode, w), []).append(
+            (batch[j], n, pad, nbits, _zero_extend(payload, nbits), firsts)
+        )
+    keep = nruns <= _BATCH_MAX_RUNS
+    if not keep.all():
+        batch = [b for b, k in zip(batch, keep) if k]
+        (L, offs, mode_c, w_arr, pads, is_y, ns, pos, zz0, zz1, nruns) = (
+            L[keep], offs[keep], mode_c[keep], w_arr[keep], pads[keep],
+            is_y[keep], ns[keep], pos[keep], zz0[keep], zz1[keep],
+            nruns[keep],
+        )
+        m = len(batch)
+    if not m:
+        return
+    # header run values: nruns[i] bytes at pos[i]
+    total_runs = int(nruns.sum())
+    run_base = _cumsum0(nruns)[:-1]
+    within = np.arange(total_runs, dtype=np.int64) - np.repeat(run_base, nruns)
+    run_vals = big[np.repeat(pos, nruns) + within]
+    # run lengths: nruns[i] sequential varints (1-2 bytes, RUN_CAP bound)
+    cur = pos + nruns
+    run_lens = np.zeros(total_runs, np.int64)
+    for k in range(int(nruns.max()) if m else 0):
+        s = np.flatnonzero(nruns > k)
+        b0 = big[cur[s]].astype(np.int64)
+        two = (b0 & 0x80) != 0
+        ln = np.where(
+            two, (b0 & 0x7F) | (big[cur[s] + 1].astype(np.int64) << 7), b0
+        )
+        run_lens[run_base[s] + k] = ln
+        cur[s] += 1 + two
+    # per-blob block counts / expected+available payload bytes (BLOCK=8:
+    # a b-bit block is exactly b payload bytes)
+    rl_cum = _cumsum0(run_lens)
+    nblocks = rl_cum[run_base + nruns] - rl_cum[run_base]
+    exp_cum = _cumsum0(run_vals.astype(np.int64) * run_lens)
+    exp_bytes = exp_cum[run_base + nruns] - exp_cum[run_base]
+    avail = offs + L - cur
+    nbits_all = np.repeat(run_vals, run_lens)
+    blk_base = _cumsum0(nblocks)[:-1]
+    # group by (mode, w) and gather each group's concat arrays
+    for mc in np.unique(mode_c):
+        mode = _MODE_NAMES[int(mc)]
+        for w in np.unique(w_arr[mode_c == mc]):
+            g = np.flatnonzero((mode_c == mc) & (w_arr == w))
+            # nbits gather
+            nb_g = nblocks[g]
+            tot_b = int(nb_g.sum())
+            gidx = np.arange(tot_b, dtype=np.int64) + np.repeat(
+                blk_base[g] - _cumsum0(nb_g)[:-1], nb_g
+            )
+            nbits_g = nbits_all[gidx]
+            # zero-extended payload gather: copy each blob's available
+            # bytes into its expected-size slot (tail stays zero)
+            av_g = avail[g]
+            exp_g = exp_bytes[g]
+            dst0 = _cumsum0(exp_g)[:-1]
+            tot_av = int(av_g.sum())
+            src = np.arange(tot_av, dtype=np.int64) + np.repeat(
+                cur[g] - _cumsum0(av_g)[:-1], av_g
+            )
+            dst = np.arange(tot_av, dtype=np.int64) + np.repeat(
+                dst0 - _cumsum0(av_g)[:-1], av_g
+            )
+            payload_g = np.zeros(int(exp_g.sum()), np.uint8)
+            payload_g[dst] = big[src]
+            # firsts ('Y' blobs with n > 0): unsigned bit patterns
+            if w < 64:
+                mask = np.uint64((1 << int(w)) - 1)
+            else:
+                mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+            f_pos = f0_u = f1_u = None
+            if mode in ("delta", "doubledelta"):
+                plens_g = ns[g] + pads[g]
+                starts_g = _cumsum0(plens_g)[:-1]
+                has_f = is_y[g] & (ns[g] > 0)
+                f_pos = starts_g[has_f]
+                zz0_g = zz0[g][has_f]
+                f0_u = (
+                    (zz0_g >> np.uint64(1))
+                    ^ (np.uint64(0) - (zz0_g & np.uint64(1)))
+                ) & mask
+                if mode == "doubledelta":
+                    zz1_g = zz1[g][has_f]
+                    d1_u = (
+                        (zz1_g >> np.uint64(1))
+                        ^ (np.uint64(0) - (zz1_g & np.uint64(1)))
+                    ) & mask
+                    f1_u = (d1_u - f0_u) & mask
+            _group_pass(
+                mode, int(w), [batch[j] for j in g], ns[g], ns[g] + pads[g],
+                nbits_g, payload_g, f_pos, f0_u, f1_u, out,
+            )
 
 
 def choose_mode(x: np.ndarray, candidates=("delta", "doubledelta", "fire")) -> str:

@@ -54,6 +54,11 @@ from sprintz_spark.codecs import gorilla
 from sprintz_spark.codecs import quantize as Q
 from sprintz_spark.codecs import sprintz as sz
 
+try:  # C JSON parser if present — chunk metas are parsed once per blob
+    from orjson import loads as _json_loads  # type: ignore
+except ImportError:  # pragma: no cover - environment-dependent
+    _json_loads = json.loads
+
 DEFAULT_CHUNK = 1 << 16
 
 
@@ -190,8 +195,30 @@ def decode_value_columns_batch(
     out: list = [None] * len(blobs)
     if simple_idx:
         decoded = sz.decode_batch([blobs[i] for i in simple_idx])
-        for i, arr in zip(simple_idx, decoded):
-            out[i] = _transform_decoded(arr, metas[i])
+        # the narrow-width offset transform (FIRE path) is batched per
+        # dtype: one concat + one astype + one repeated add across ALL
+        # such blobs, then views split back — the per-blob
+        # astype-and-add was ~5 us per tiny chunk, dominating decode of
+        # short-series stores (r10 measurement)
+        off_groups: dict[str, list[int]] = {}
+        for j, i in enumerate(simple_idx):
+            m = metas[i]
+            if "offset" in m and "qparams" not in m and not m.get("bool"):
+                off_groups.setdefault(m["np_dtype"], []).append(j)
+            else:
+                out[i] = _transform_decoded(decoded[j], m)
+        for dt, js in off_groups.items():
+            npdt = np.dtype(dt)
+            arrs = [decoded[j].view(npdt) for j in js]
+            lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
+            offs = np.fromiter(
+                (metas[simple_idx[j]]["offset"] for j in js), np.int64, len(js)
+            )
+            big = np.concatenate(arrs).astype(np.int64) if arrs else np.zeros(0, np.int64)
+            big += np.repeat(offs, lens)
+            bounds = np.concatenate([[0], np.cumsum(lens)])
+            for k, j in enumerate(js):
+                out[simple_idx[j]] = big[bounds[k] : bounds[k + 1]]
     for i, m in enumerate(metas):
         if out[i] is None:
             out[i] = _decode_value_column(blobs[i], m).to_numpy()
@@ -465,7 +492,7 @@ def decode_series(
         for pdf in it:
             if not len(pdf):
                 continue
-            metas = [json.loads(m) for m in pdf["meta"]]
+            metas = [_json_loads(m) for m in pdf["meta"]]
             ns = pdf["n"].to_numpy(np.int64)
             ts_arrays = sz.decode_batch(list(pdf["ts_blob"]))
             ts_concat = (
@@ -514,7 +541,7 @@ def query_encoded(
         for pdf in it:
             if not len(pdf):
                 continue
-            metas = [json.loads(m)[value_col] for m in pdf["meta"]]
+            metas = [_json_loads(m)[value_col] for m in pdf["meta"]]
             blobs = list(pdf[blob_col])
             n_b = len(blobs)
             sums = np.zeros(n_b, np.int64)

@@ -43,6 +43,11 @@ from pyspark.sql.types import (
 
 from sprintz_spark.codecs import sprintz as sz
 
+try:  # C JSON parser if present (meta parse is once per chunk row)
+    from orjson import loads as _json_loads  # type: ignore
+except ImportError:  # pragma: no cover - environment-dependent
+    _json_loads = json.loads
+
 US = 1_000_000
 TIER_US = {"1m": 60 * US, "1h": 3600 * US, "1d": 86400 * US}
 MEASURES = ["crawl_count", "byte_size_sum", "byte_size_max", "byte_size_min"]
@@ -448,7 +453,7 @@ def verify_encoded(enc: DataFrame) -> DataFrame:
         for pdf in it:
             if not len(pdf):
                 continue
-            metas = [json.loads(m) for m in pdf["meta"]]
+            metas = [_json_loads(m) for m in pdf["meta"]]
             ns = pdf["n"].to_numpy(np.int64)
             checked = np.zeros(len(pdf), dtype=np.int64)
             ts_arrays = szc.decode_batch(list(pdf["ts_blob"]))
@@ -486,7 +491,16 @@ def verify_encoded(enc: DataFrame) -> DataFrame:
 
 
 def decode_fused_tier(enc: DataFrame, tier: str) -> DataFrame:
-    """Decode one tier of the fused output back to plain series rows."""
+    """Decode one tier of the fused output back to plain series rows.
+
+    Task-granularity note (r10, measured): coalescing the tier scan so
+    each decode task carries ~32 MB of blobs made end-to-end decode 5.6x
+    SLOWER (1.8M -> 0.32M pts/s at the bench shape) — the wall is
+    per-BLOB Python/numpy fixed cost on ~40-row chunks (meta parse,
+    per-blob transforms), not task scheduling, so fewer bigger tasks
+    just serialize that cost. The fix lives in the decode kernels
+    (vectorized meta parse + batched transforms in operators/encode.py,
+    codecs/sprintz.py), not in partitioning."""
     from sprintz_spark.operators.encode import decode_series
 
     return decode_series(
