@@ -566,8 +566,12 @@ def compact_tiers(
             )
         )
         stats_rows = stats.collect()
+        from sprintz_spark.session import local_values_df
+
         with _MANIFEST_LOCK:
-            spark.createDataFrame(stats_rows, stats.schema).write.mode(
+            # VALUES relation, not createDataFrame: a Python-RDD-backed
+            # parquet write stalls seconds in driver planning (r10)
+            local_values_df(spark, stats_rows, stats.schema).write.mode(
                 "append"
             ).parquet(_manifest_path(out_dir))
         for tier in todo:
@@ -748,7 +752,10 @@ def expire_tier(
             for r in per_part
             if int(r["n_chunks"] or 0) > 0
         ]
-        fresh = spark.createDataFrame(
+        from sprintz_spark.session import local_values_df
+
+        fresh = local_values_df(
+            spark,
             fresh_rows,
             "part int, n_chunks long, n_rows long, raw_bytes long,"
             " comp_bytes long, encode_secs double, min_bucket timestamp,"
@@ -777,7 +784,10 @@ def expire_tier(
             float(time.time()),
         )
     ]
-    spark.createDataFrame(
+    from sprintz_spark.session import local_values_df
+
+    local_values_df(
+        spark,
         log_row,
         "tier string, snapshot_id string, cutoff string, chunks_dropped long,"
         " rows_dropped long, raw_bytes_dropped long, at double",

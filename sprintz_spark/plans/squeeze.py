@@ -75,7 +75,10 @@ def encode_measure_decode(
     rows += [
         (c, n, n * itemsizes[c], sizes[f"comp_{c}"] or 0, mism) for c in value_cols
     ]
-    report = spark.createDataFrame(
+    from sprintz_spark.session import local_values_df
+
+    report = local_values_df(
+        spark,
         [
             (c, int(np_), int(raw), int(comp), float(raw / comp) if comp else 0.0, int(mm))
             for c, np_, raw, comp, mm in rows

@@ -123,9 +123,23 @@ def _staged_stream_src(spark, sf_dir) -> str:
         _cents().alias("cents"),
     )
     src = os.path.join(_scratch_dir("stream_src_"), "src")
+    # coalesce(1) kept deliberately: at this staging size a 32-task
+    # parallel write measured 0.93 s vs 0.37 s single-task (r10 A/B) —
+    # per-task+file overhead dominates; correctness does not need one
+    # file (the single availableNow batch consumes all files regardless
+    # of order)
     ev.coalesce(1).write.mode("append").parquet(src)
-    sentinel = spark.createDataFrame(
-        [(-1, dt.datetime(2099, 1, 1), 0, 0)], schema=_stream_src_schema()
+    # JVM VALUES relation, not createDataFrame: writing a Python-RDD-
+    # backed frame to parquet stalls ~5 s in driver planning (r10
+    # measurement; session.local_values_df docstring) — this single row
+    # was most of the "streaming cold-start" previously attributed to
+    # micro-batch machinery
+    from sprintz_spark.session import local_values_df
+
+    sentinel = local_values_df(
+        spark,
+        [(-1, dt.datetime(2099, 1, 1), 0, 0)],
+        "user_id bigint, ts timestamp, event_id bigint, cents bigint",
     )
     sentinel.coalesce(1).write.mode("append").parquet(src)
     _SHARED_STAGE[key] = src

@@ -39,6 +39,62 @@ def package_zip() -> str:
     return out
 
 
+def local_values_df(spark: SparkSession, rows, schema):
+    """Tiny driver-local DataFrame as a pure-JVM VALUES relation.
+
+    ``spark.createDataFrame(list)`` plans a Python-RDD scan; writing one
+    to parquet stalls ~3-9 s in driver-side planning (EnsureRequirements
+    repeatedly scanning jars for classes — measured r10, thread dumps in
+    OPTIMIZATION_r10.md). An inline VALUES relation plans as a JVM
+    LocalRelation and writes in ~0.3-1 s. Supports int/float/str/
+    datetime/bool/None cells; every column is cast to the declared type
+    so the result schema is exactly ``schema`` (a DDL string or
+    StructType). Intended for metadata-scale rows (manifests, logs,
+    sentinels) — never row-scale data."""
+    import datetime as _dt
+    import math as _math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, StructType):
+        names = [f.name for f in schema.fields]
+        types = [f.dataType.simpleString() for f in schema.fields]
+    else:
+        parts = [c.strip() for c in schema.split(",")]
+        names = [p.split()[0] for p in parts]
+        types = [p.split(maxsplit=1)[1] for p in parts]
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP'{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        if isinstance(v, float):
+            if _math.isnan(v):
+                return "CAST('NaN' AS DOUBLE)"
+            if _math.isinf(v):
+                return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+            return f"CAST({v!r} AS DOUBLE)"
+        return str(v)
+
+    vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    if not rows:
+        # empty VALUES is invalid SQL: build one all-NULL row and drop it
+        vals = "(" + ", ".join("NULL" for _ in names) + ")"
+        df = spark.sql(f"SELECT * FROM VALUES {vals} AS t({', '.join(names)})")
+        df = df.limit(0)
+    else:
+        df = spark.sql(f"SELECT * FROM VALUES {vals} AS t({', '.join(names)})")
+    return df.select(
+        *[F.col(n).cast(t).alias(n) for n, t in zip(names, types)]
+    )
+
+
 def get_spark(
     app: str = "sprintz_spark",
     master: str | None = None,
