@@ -71,9 +71,12 @@ def main() -> int:
 
     results = {}
     for shape in ("uniform", "skewed"):
-        df = synth(spark, n, skewed=(shape == "skewed"))
-        # one warm pass of the input synth so both legs time pack_shards,
-        # not the range codegen
+        df = synth(spark, n, skewed=(shape == "skewed")).persist()
+        # persist + count so the timed region is pack_shards alone —
+        # a bare count() let the optimizer skip materializing the synth
+        # projection, which was then re-evaluated inside pack_shards'
+        # persist pass (r9 ADVICE; affected both legs symmetrically, so
+        # ratios were fair but absolute walls were inflated)
         df.count()
         t0 = time.time()
         out = pack_shards(df, capacity=4096)
@@ -82,6 +85,7 @@ def main() -> int:
         ).first()
         wall = time.time() - t0
         results[shape] = wall
+        df.unpersist()
         print(
             f"{shape:8s}: {wall:6.1f} s  shards={n_shards}  tokens={tok}",
             flush=True,

@@ -115,14 +115,18 @@ def _staged_stream_src(spark, sf_dir) -> str:
     key = (spark, sf_dir, "stream_src")
     cached = _SHARED_STAGE.get(key)
     if cached is not None:
-        return cached
+        return os.path.join(cached, "src")
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         F.col("ts").cast("timestamp").alias("ts"),
         "event_id",
         _cents().alias("cents"),
     )
-    src = os.path.join(_scratch_dir("stream_src_"), "src")
+    # the stage entry stores the SCRATCH ROOT (r9 ADVICE: storing the
+    # src child left the empty mkdtemp parent to the atexit backstop);
+    # release_shared_stages rmtrees the root like the tier-store entries
+    root = _scratch_dir("stream_src_")
+    src = os.path.join(root, "src")
     # coalesce(1) kept deliberately: at this staging size a 32-task
     # parallel write measured 0.93 s vs 0.37 s single-task (r10 A/B) —
     # per-task+file overhead dominates; correctness does not need one
@@ -142,7 +146,7 @@ def _staged_stream_src(spark, sf_dir) -> str:
         "user_id bigint, ts timestamp, event_id bigint, cents bigint",
     )
     sentinel.coalesce(1).write.mode("append").parquet(src)
-    _SHARED_STAGE[key] = src
+    _SHARED_STAGE[key] = root
     return src
 
 
@@ -292,9 +296,7 @@ def q_stream_rollup_1m(spark, sf_dir):
     watermark horizon — bounded by horizon x ingest rate, not by
     history. The multi-batch replay path (cross-batch state, late-data
     drops) stays covered by tests/test_streaming.py."""
-    import datetime as dt
     import os
-    import tempfile
 
     base = _scratch_dir("stream_rollup_1m_")
     out, chk = (os.path.join(base, d) for d in ("out", "chk"))
@@ -354,7 +356,6 @@ def q_stream_dedup_docs(spark, sf_dir):
     rate, not corpus size (cross-horizon exactness belongs to the batch
     exact_dedup, the standard lambda split)."""
     import os
-    import tempfile
 
     from sprintz_spark.streaming.rollup_stream import stream_exact_dedup
 
@@ -432,7 +433,6 @@ def q_stream_gap_alerts(spark, sf_dir):
     windowed self-join would buffer history."""
     import datetime as dt
     import os
-    import tempfile
 
     from sprintz_spark.streaming.rollup_stream import stream_gap_alerts
 
@@ -503,9 +503,7 @@ def q_stream_m4(spark, sf_dir):
     batch m4_downsample: streamed pixels == batch derivation, bit for
     bit. Multi-batch replay (cross-batch window state) stays covered by
     tests/test_streaming.py."""
-    import datetime as dt
     import os
-    import tempfile
 
     from sprintz_spark.streaming.rollup_stream import stream_m4
 
@@ -3237,6 +3235,12 @@ def q_gopher_repetition(spark, sf_dir):
         "ws",
     )
 
+    # NOTE (r10): a one-pass variant exploding ONE concat of
+    # struct-tagged gram arrays was A/B'd against this 3-branch union
+    # (interleaved trials, sf0.1): union 1.8-2.1 s warm vs concat
+    # 2.7-2.8 s — the per-element struct wrapping costs more than the
+    # two extra codegen'd scans of the (columnar, pruned) text column.
+    # The union stays.
     lf = None
     for kind, k in (("w", 1), ("g2", 2), ("g5", 5)):
         part = base.select(
@@ -3677,9 +3681,7 @@ def q_stream_sessionize(spark, sf_dir):
     State at scale: one open session per (user, in-flight window) inside
     the watermark horizon; merged and evicted as the watermark passes —
     bounded by horizon x active users, not history."""
-    import datetime as dt
     import os
-    import tempfile
 
     base = _scratch_dir("stream_sessionize_")
     out, chk = (os.path.join(base, d) for d in ("out", "chk"))
@@ -3969,24 +3971,54 @@ def q_containment_dups(spark, sf_dir):
     nr = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = keep.select(F.col("doc_id").alias("a"), "g")
     b = keep.select(F.col("doc_id").alias("b"), "g")
+    # UNORDERED candidate pairs (a < b): the intersection size m is
+    # symmetric, so materializing both directions doubled the candidate
+    # shuffle and the (a, b) aggregation for no information (r10: 2.2 s
+    # -> 0.6 s warm at sf0.1, identical output). Both directional
+    # containment tests evaluate from the one m row via two n_sh joins;
+    # at corpus scale this halves the join's shuffle volume outright.
     inter = (
         a.join(b, "g")
-        .where(F.col("a") != F.col("b"))
+        .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("m"))
     )
-    pairs = inter.join(nr.withColumnRenamed("doc_id", "a"), "a").where(
-        F.col("m") * 10 >= F.col("n_sh") * 9
+    j = (
+        inter.join(nr.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(nr.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("m") * 10 >= F.col("n_a") * 9).cast("long").alias("ta"),
+            (F.col("m") * 10 >= F.col("n_b") * 9).cast("long").alias("tb"),
+        )
+        .where((F.col("ta") + F.col("tb")) > 0)
     )
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("a").alias("n_contained"),
+    j = _cache(j)  # two tiny aggregates below read the surviving pairs
+    s1 = j.agg(
+        F.coalesce(F.sum(F.col("ta") + F.col("tb")), F.lit(0))
+        .cast("long")
+        .alias("n_pairs"),
         # coalesce like the oracle: a pair-free corpus must read 0, not
         # NULL, or the gate would spuriously fail on regenerated data
-        F.coalesce(F.sum(F.col("a") + F.col("b")), F.lit(0).cast("long")).alias(
-            "id_sum"
-        ),
+        F.coalesce(
+            F.sum((F.col("a") + F.col("b")) * (F.col("ta") + F.col("tb"))),
+            F.lit(0).cast("long"),
+        ).alias("id_sum"),
     )
+    s2 = (
+        j.select(
+            F.explode(
+                F.array(
+                    F.when(F.col("ta") == 1, F.col("a")),
+                    F.when(F.col("tb") == 1, F.col("b")),
+                )
+            ).alias("c")
+        )
+        .where(F.col("c").isNotNull())
+        .agg(F.countDistinct("c").alias("n_contained"))
+    )
+    return s1.crossJoin(s2).select("n_pairs", "n_contained", "id_sum")
 
 
 _CONTAINMENT_SQL = r"""
