@@ -342,6 +342,115 @@ def _multi_decode_table(lens_tbl: np.ndarray, n_syms: int = 1 << 30):
     return syms, clen, cnt, k_max, advfull
 
 
+def huffman_decode_batch(blobs: list[bytes]) -> list[np.ndarray]:
+    """Decode MANY small HUF1 containers in ONE lockstep pass.
+
+    The per-blob decoder builds a 2^16-entry multi-symbol table per blob
+    (~1.3 ms) and runs its vectorized loop over that blob's few
+    sub-block lanes — tiny-chunk workloads (hundreds of symbols per
+    blob) pay ~2.8 ms/blob of fixed cost (r10 profile). Here every blob
+    >= 2^14 symbols still takes that route (the wide tables amortize),
+    but all smaller blobs decode together: per-blob SINGLE-SYMBOL
+    tables sized 2^Lmax_b (Lmax_b = the blob's longest code, typically
+    2^9-2^12 entries, built by two global np.repeat passes) are
+    concatenated, payloads are concatenated behind one 24-bit window
+    base, and one masked loop advances every (blob, sub-block) lane at
+    once — iteration count is the sub-block size (64 for small blobs)
+    while lane width is the TOTAL block count across blobs."""
+    out: list = [None] * len(blobs)
+    small: list[tuple] = []
+    for i, buf in enumerate(blobs):
+        mv = memoryview(buf)
+        assert bytes(mv[:4]) == MAGIC, "not a HUF1 container"
+        n = int(np.frombuffer(mv[4:8], np.uint32)[0])
+        if n == 0 or n >= (1 << 14):
+            out[i] = huffman_decode(buf)
+            continue
+        bs = int(np.frombuffer(mv[8:10], np.uint16)[0])
+        nib = np.frombuffer(mv[10:138], np.uint8)
+        lens_tbl = np.empty(256, np.uint8)
+        lens_tbl[0::2] = nib >> 4
+        lens_tbl[1::2] = nib & 0x0F
+        n_blocks = int(np.frombuffer(mv[138:142], np.uint32)[0])
+        deltas, pos = _read_uvarints_vec(mv, 142, n_blocks)
+        small.append((i, n, bs, lens_tbl, np.cumsum(deltas), bytes(mv[pos:])))
+    if not small:
+        return out
+    m = len(small)
+    # per-blob small windows: L_b = longest code present (>= 1)
+    Ls = np.array([max(int(s[3].max()), 1) for s in small], np.int64)
+    tbl_sizes = (np.int64(1) << Ls).astype(np.int64)
+    tbl_off = np.concatenate([[0], np.cumsum(tbl_sizes)])
+    sym_g = np.zeros(int(tbl_off[-1]), np.uint8)
+    len_g = np.zeros(int(tbl_off[-1]), np.uint8)
+    # canonical tiling per blob, all blobs in two global repeats: blob
+    # b's codes sorted by (length, symbol) tile [tbl_off[b], ...) with
+    # spans 2^(L_b - l); the Kraft tail stays zero
+    ord_parts, span_parts, lsub_parts, filled = [], [], [], np.zeros(m, np.int64)
+    for k, (_i, _n, _bs, lens_tbl, _bb, _pl) in enumerate(small):
+        used = np.flatnonzero(lens_tbl)
+        order = used[np.lexsort((used, lens_tbl[used]))]
+        l = lens_tbl[order].astype(np.int64)
+        spans = np.int64(1) << (Ls[k] - l)
+        ord_parts.append(order.astype(np.uint8))
+        span_parts.append(spans)
+        lsub_parts.append(l.astype(np.uint8))
+        filled[k] = int(spans.sum())
+    span_cat = np.concatenate(span_parts)
+    rep_sym = np.repeat(np.concatenate(ord_parts), span_cat)
+    rep_len = np.repeat(np.concatenate(lsub_parts), span_cat)
+    dst = np.arange(len(rep_sym), dtype=np.int64) + np.repeat(
+        tbl_off[:-1] - np.concatenate([[0], np.cumsum(filled)[:-1]]), filled
+    )
+    sym_g[dst] = rep_sym
+    len_g[dst] = rep_len
+    # concatenated payloads + global 24-bit window base
+    pay_lens = np.array([len(s[5]) for s in small], np.int64)
+    pay_off = np.concatenate([[0], np.cumsum(pay_lens)])
+    pb = np.frombuffer(
+        b"".join([s[5] for s in small] + [b"\x00" * 8]), np.uint8
+    ).astype(np.int32)
+    win_base = (pb[:-2] << 16) | (pb[1:-1] << 8) | pb[2:]
+    # one lane per (blob, sub-block)
+    nb_per = np.array([len(s[4]) for s in small], np.int64)
+    lane_blob = np.repeat(np.arange(m), nb_per)
+    cursors = np.concatenate([s[4] for s in small]).astype(np.int64) + np.repeat(
+        pay_off[:-1] * 8, nb_per
+    )
+    ns = np.array([s[1] for s in small], np.int64)
+    bss = np.array([s[2] for s in small], np.int64)
+    out_off = np.concatenate([[0], np.cumsum(ns)])
+    blk_ord = np.arange(len(lane_blob), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(nb_per)[:-1]]), nb_per
+    )
+    out_pos = out_off[:-1][lane_blob] + blk_ord * bss[lane_blob]
+    remaining = np.minimum(
+        bss[lane_blob], ns[lane_blob] - blk_ord * bss[lane_blob]
+    )
+    out_g = np.empty(int(out_off[-1]), np.uint8)
+    lane_L = Ls[lane_blob]
+    lane_toff = tbl_off[:-1][lane_blob]
+    lane_shift = 24 - lane_L
+    lane_mask = (np.int64(1) << lane_L) - 1
+    ai = np.flatnonzero(remaining > 0)
+    while len(ai):
+        cur = cursors[ai]
+        win = (
+            win_base[cur >> 3] >> (lane_shift[ai] - (cur & 7))
+        ) & lane_mask[ai]
+        t = lane_toff[ai] + win
+        out_g[out_pos[ai]] = sym_g[t]
+        cursors[ai] = cur + len_g[t]
+        out_pos[ai] += 1
+        remaining[ai] -= 1
+        sel = remaining[ai] > 0
+        if not sel.all():
+            ai = ai[sel]
+    for k, (i, n, _bs, _lt, _bb, _pl) in enumerate(small):
+        out[i] = out_g[out_off[k] : out_off[k] + n]
+    return out
+
+
 def huffman_decode(buf: bytes) -> np.ndarray:
     mv = memoryview(buf)
     assert bytes(mv[:4]) == MAGIC, "not a HUF1 container"

@@ -311,6 +311,57 @@ def search_decode(buf: bytes, allow_legacy: bool = False) -> np.ndarray:
     )
 
 
+def search_decode_batch(
+    blobs: list[bytes], allow_legacy: bool = False
+) -> list[np.ndarray]:
+    """Decode MANY search containers with batched inner decoders.
+
+    v1 containers group by pipeline family: sprintz-* / raw payloads go
+    through sz.decode_batch (global width-grouped passes), huffman /
+    byteshuffle-huffman through huffman_decode_batch (lockstep across
+    blobs); every other pipeline — and legacy headers — falls back to
+    the per-blob search_decode. Output arrays are identical to
+    search_decode per blob (tests/test_search.py pins it)."""
+    out: list = [None] * len(blobs)
+    sprintz_names = {
+        "sprintz-delta", "sprintz-doubledelta", "sprintz-dyndelta",
+        "sprintz-fire", "raw", "sprintz-ewma",
+    }
+    sz_grp: list[tuple[int, bytes, np.dtype]] = []
+    hf_grp: list[tuple[int, bytes, np.dtype]] = []
+    shf_grp: list[tuple[int, bytes, np.dtype, int]] = []
+    for i, buf in enumerate(blobs):
+        if not (buf[0] == MAGIC and buf[1] == VERSION):
+            out[i] = search_decode(buf, allow_legacy)
+            continue
+        name = PIPELINES[buf[2]][0]
+        dt = np.dtype(_DTYPES[buf[3]])
+        n = int(np.frombuffer(buf[4:8], dtype=np.uint32)[0])
+        if name in sprintz_names:
+            sz_grp.append((i, buf[8:], dt))
+        elif name == "huffman":
+            hf_grp.append((i, buf[8:], dt))
+        elif name == "byteshuffle-huffman":
+            shf_grp.append((i, buf[8:], dt, n))
+        else:
+            out[i] = search_decode(buf, allow_legacy)
+    if sz_grp:
+        arrs = sz.decode_batch([b for _, b, _ in sz_grp])
+        for (i, _b, dt), a in zip(sz_grp, arrs):
+            out[i] = a.view(dt)
+    if hf_grp or shf_grp:
+        from sprintz_spark.codecs import huffman as hf
+
+        arrs = hf.huffman_decode_batch(
+            [b for _, b, *_ in hf_grp] + [b for _, b, *_ in shf_grp]
+        )
+        for (i, _b, dt), a in zip(hf_grp, arrs[: len(hf_grp)]):
+            out[i] = a.view(dt)
+        for (i, _b, dt, n), a in zip(shf_grp, arrs[len(hf_grp):]):
+            out[i] = extras.byteshuffle_decode(a, dt, n)
+    return out
+
+
 def search_report(x: np.ndarray) -> dict:
     """Size of every applicable pipeline — the encode-measure harness
     (reference: python/dfsqueeze.py encode_measure_decode)."""

@@ -219,6 +219,21 @@ def decode_value_columns_batch(
             bounds = np.concatenate([[0], np.cumsum(lens)])
             for k, j in enumerate(js):
                 out[simple_idx[j]] = big[bounds[k] : bounds[k + 1]]
+    search_idx = [
+        i for i, m in enumerate(metas) if out[i] is None and m["codec"] == "search"
+    ]
+    if search_idx:
+        from sprintz_spark.codecs import search as CS
+
+        # batched container dispatch (r10): sprintz-family payloads share
+        # decode_batch's global passes, huffman payloads the lockstep
+        # batch decoder — the retention read path may face pre-v1
+        # stores, hence allow_legacy (same as _decode_value_column)
+        arrs = CS.search_decode_batch(
+            [blobs[i] for i in search_idx], allow_legacy=True
+        )
+        for i, a in zip(search_idx, arrs):
+            out[i] = np.asarray(a)
     for i, m in enumerate(metas):
         if out[i] is None:
             out[i] = _decode_value_column(blobs[i], m).to_numpy()
@@ -365,6 +380,16 @@ def encode_series(
         df = df.withColumn(
             part_col, F.pmod(F.xxhash64(*key_cols), F.lit(n_parts)).cast("int")
         )
+    if n_parts:
+        # explicit repartition-by-NUM pins the encode stage's task count:
+        # the groupBy exchange alone lets AQE coalesce by BYTES, and the
+        # probe/pack kernels are CPU-bound per row, not per byte — at
+        # sf0.1 AQE squeezed the whole codec-search encode onto ONE task
+        # (5.6 s wall vs 0.9 s pinned, r10 A/B). AQE never coalesces a
+        # user-specified numbered repartition, and the hash partitioning
+        # satisfies the groupBy requirement so no second exchange
+        # appears. n_parts stays scale-adaptive (defaultParallelism*2).
+        df = df.repartition(n_parts, part_col)
     key_types = [df.schema[k].dataType for k in key_cols]
     out_keys = ([] if drop_part else [part_col]) + key_cols
     out_key_types = (
@@ -621,6 +646,10 @@ def encode_series_container(
         df = df.withColumn(
             part_col, F.pmod(F.xxhash64(key), F.lit(n_parts)).cast("int")
         )
+    if n_parts:
+        # pin the encode task count against AQE byte-coalescing — see
+        # encode_series (the container packer is equally CPU-bound)
+        df = df.repartition(n_parts, part_col)
     key_t = df.schema[key].dataType
     part_t = df.schema[part_col].dataType
     fields = ([] if drop_part else [StructField(part_col, part_t)]) + [

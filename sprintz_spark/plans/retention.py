@@ -242,6 +242,10 @@ def run_retention(
             part_col="_tp",
             value_cols=MEASURES,
             chunk_rows=chunk_rows,
+            # pin the encode task count (scale-adaptive) so AQE's
+            # byte-based coalescing can't serialize the CPU-bound encode
+            # UDF onto one task (operators/encode.py r10 note)
+            n_parts=spark.sparkContext.defaultParallelism * 2,
         )
         enc = (
             enc.withColumn(
@@ -523,6 +527,9 @@ def compact_tiers(
             part_col="_tp",
             value_cols=MEASURES,
             chunk_rows=chunk_rows,
+            # pinned task count — same AQE-coalescing rationale as
+            # run_retention's encode job
+            n_parts=spark.sparkContext.defaultParallelism * 2,
         )
         enc = (
             enc.withColumn(
