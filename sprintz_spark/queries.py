@@ -369,26 +369,36 @@ def q_stream_dedup_docs(spark, sf_dir):
     )
     base = _scratch_dir("stream_dedup_docs_")
     src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
-    docs.coalesce(1).write.mode("append").parquet(src)
     # copy ids must be disjoint from REAL ids at any corpus size — a
     # fixed +1e6 offset would misclassify genuine doc_ids >= 1e6 as
-    # copies on a large SF; derive the offset from the staged slice
-    # (tiny agg over the file just written, no second corpus scan)
-    copy_off = (
-        spark.read.parquet(src).agg(F.max("doc_id")).first()[0] or 0
-    ) + 1
-    before = {os.path.join(src, f) for f in os.listdir(src)}
+    # copies on a large SF; one tiny max-pushdown agg over the corpus
+    # derives the offset (identical to aggregating the staged slice)
+    copy_off = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
     copies = docs.where(F.pmod("doc_id", F.lit(50)) == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(copy_off)
     )
-    copies.coalesce(1).write.mode("append").parquet(src)
-    # slice 2 must replay AFTER slice 1 (oldest-first source): stamp its
-    # files strictly later instead of sleeping past mtime granularity
-    latest = max(os.path.getmtime(p) for p in before)
-    for f in os.listdir(src):
-        p = os.path.join(src, f)
-        if p not in before:
-            os.utime(p, (latest + 2, latest + 2))
+    # ONE partitioned write stages both slices (two sequential writes
+    # cost a job each — r10), then the part files move into the flat
+    # source dir with stamped mtimes so the oldest-first source replays
+    # the copies slice AFTER the originals (the cross-batch-state claim)
+    stage = os.path.join(base, "stage")
+    (
+        docs.withColumn("_slice", F.lit(0))
+        .unionByName(copies.withColumn("_slice", F.lit(1)))
+        .coalesce(1)
+        .write.partitionBy("_slice")
+        .parquet(stage)
+    )
+    os.makedirs(src, exist_ok=True)
+    now = os.path.getmtime(stage)
+    for slice_no in (0, 1):
+        d = os.path.join(stage, f"_slice={slice_no}")
+        for j, f in enumerate(sorted(os.listdir(d))):
+            if not f.endswith(".parquet"):
+                continue
+            dst = os.path.join(src, f"slice{slice_no}_{j}.parquet")
+            os.rename(os.path.join(d, f), dst)
+            os.utime(dst, (now + 2 * slice_no, now + 2 * slice_no))
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -442,16 +452,29 @@ def q_stream_gap_alerts(spark, sf_dir):
     base = _scratch_dir("stream_gap_alerts_")
     src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
     split = dt.datetime(2024, 1, 16)  # generator events span Jan 2024
-    ev.where(F.col("ts") < F.lit(split)).coalesce(1).write.mode("append").parquet(src)
-    before = {os.path.join(src, f) for f in os.listdir(src)}
-    ev.where(F.col("ts") >= F.lit(split)).coalesce(1).write.mode("append").parquet(
-        src
+    # ONE partitioned write stages both time slices (the two sequential
+    # filtered writes cost a full job each — r10); the part files then
+    # move into the flat source dir with explicitly stamped mtimes, so
+    # the oldest-first file source replays slice 0 before slice 1
+    # exactly as before. coalesce(1) keeps one file per slice (the
+    # maxFilesPerTrigger=1 replay contract).
+    stage = os.path.join(base, "stage")
+    (
+        ev.withColumn("_slice", (F.col("ts") >= F.lit(split)).cast("int"))
+        .coalesce(1)
+        .write.partitionBy("_slice")
+        .parquet(stage)
     )
-    latest = max(os.path.getmtime(p) for p in before)
-    for f in os.listdir(src):
-        p = os.path.join(src, f)
-        if p not in before:
-            os.utime(p, (latest + 2, latest + 2))
+    os.makedirs(src, exist_ok=True)
+    now = os.path.getmtime(stage)
+    for slice_no in (0, 1):
+        d = os.path.join(stage, f"_slice={slice_no}")
+        for j, f in enumerate(sorted(os.listdir(d))):
+            if not f.endswith(".parquet"):
+                continue
+            dst = os.path.join(src, f"slice{slice_no}_{j}.parquet")
+            os.rename(os.path.join(d, f), dst)
+            os.utime(dst, (now + 2 * slice_no, now + 2 * slice_no))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
