@@ -4006,42 +4006,34 @@ def q_containment_dups(spark, sf_dir):
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("m"))
     )
-    j = (
+    # explode each unordered pair into its SURVIVING directed rows
+    # (contained doc c, partner kept via a+b) — one subtree, one final
+    # aggregate: count(c) == directed pair count, distinct c == the
+    # contained-doc set, sum(a+b) == the directed id_sum
+    ex = (
         inter.join(nr.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
         .join(nr.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
         .select(
             "a",
             "b",
-            (F.col("m") * 10 >= F.col("n_a") * 9).cast("long").alias("ta"),
-            (F.col("m") * 10 >= F.col("n_b") * 9).cast("long").alias("tb"),
-        )
-        .where((F.col("ta") + F.col("tb")) > 0)
-    )
-    j = _cache(j)  # two tiny aggregates below read the surviving pairs
-    s1 = j.agg(
-        F.coalesce(F.sum(F.col("ta") + F.col("tb")), F.lit(0))
-        .cast("long")
-        .alias("n_pairs"),
-        # coalesce like the oracle: a pair-free corpus must read 0, not
-        # NULL, or the gate would spuriously fail on regenerated data
-        F.coalesce(
-            F.sum((F.col("a") + F.col("b")) * (F.col("ta") + F.col("tb"))),
-            F.lit(0).cast("long"),
-        ).alias("id_sum"),
-    )
-    s2 = (
-        j.select(
             F.explode(
                 F.array(
-                    F.when(F.col("ta") == 1, F.col("a")),
-                    F.when(F.col("tb") == 1, F.col("b")),
+                    F.when(F.col("m") * 10 >= F.col("n_a") * 9, F.col("a")),
+                    F.when(F.col("m") * 10 >= F.col("n_b") * 9, F.col("b")),
                 )
-            ).alias("c")
+            ).alias("c"),
         )
         .where(F.col("c").isNotNull())
-        .agg(F.countDistinct("c").alias("n_contained"))
     )
-    return s1.crossJoin(s2).select("n_pairs", "n_contained", "id_sum")
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("c").alias("n_contained"),
+        # coalesce like the oracle: a pair-free corpus must read 0, not
+        # NULL, or the gate would spuriously fail on regenerated data
+        F.coalesce(F.sum(F.col("a") + F.col("b")), F.lit(0).cast("long")).alias(
+            "id_sum"
+        ),
+    )
 
 
 _CONTAINMENT_SQL = r"""
