@@ -127,17 +127,17 @@ def _staged_stream_src(spark, sf_dir) -> str:
     # release_shared_stages rmtrees the root like the tier-store entries
     root = _scratch_dir("stream_src_")
     src = os.path.join(root, "src")
-    # coalesce(1) kept deliberately: at this staging size a 32-task
-    # parallel write measured 0.93 s vs 0.37 s single-task (r10 A/B) —
-    # per-task+file overhead dominates; correctness does not need one
-    # file (the single availableNow batch consumes all files regardless
-    # of order)
-    ev.coalesce(1).write.mode("append").parquet(src)
-    # JVM VALUES relation, not createDataFrame: writing a Python-RDD-
-    # backed frame to parquet stalls ~5 s in driver planning (r10
-    # measurement; session.local_values_df docstring) — this single row
-    # was most of the "streaming cold-start" previously attributed to
-    # micro-batch machinery
+    # ONE single-task write carries the projection AND the far-future
+    # sentinel row (the single availableNow batch consumes all files
+    # regardless of order or boundaries, so neither a separate sentinel
+    # file nor any file ordering is needed). The sentinel is a JVM
+    # VALUES relation, not createDataFrame: writing a Python-RDD-backed
+    # frame to parquet stalls ~5 s in driver planning (r10 measurement;
+    # session.local_values_df docstring) — as a separate write that
+    # single row was most of the "streaming cold-start" previously
+    # attributed to micro-batch machinery. coalesce(1) kept
+    # deliberately: a 32-task parallel write measured 0.93 s vs 0.37 s
+    # single-task at this staging size.
     from sprintz_spark.session import local_values_df
 
     sentinel = local_values_df(
@@ -145,7 +145,7 @@ def _staged_stream_src(spark, sf_dir) -> str:
         [(-1, dt.datetime(2099, 1, 1), 0, 0)],
         "user_id bigint, ts timestamp, event_id bigint, cents bigint",
     )
-    sentinel.coalesce(1).write.mode("append").parquet(src)
+    ev.unionByName(sentinel).coalesce(1).write.mode("append").parquet(src)
     _SHARED_STAGE[key] = root
     return src
 
