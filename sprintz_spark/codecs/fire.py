@@ -158,10 +158,27 @@ def fire_decode_multi(
 ) -> np.ndarray:
     """Decode MANY block-padded FIRE segments in one concat array —
     inverse of fire_encode_multi, bit-identical to fire_decode per
-    segment. The within-block sample chain is sequential, so we iterate
-    (block k, sample j) and process every active series per step as
-    vector math; the final values come from one segmented cumsum.
-    """
+    segment.
+
+    Optimistic zero-coef scan (r10): when a block's coef is 0, its deltas
+    equal its errors and its gradient sum depends ONLY on that block's
+    errors (pred is 0, so every within-block prev_delta is the previous
+    error; the j=0 gradient position is never sampled because
+    LEARNING_DOWNSAMPLE >= 2). Both are therefore precomputable for ALL
+    blocks in two global passes, and a run of zero-coef blocks advances a
+    series' counter by a plain prefix sum of per-block steps. The decode
+    walks each series as: vectorized segmented scan to the first
+    nonzero-coef block (validated against the wrapped counter prefix),
+    accept the run wholesale, then decode that one block with the exact
+    8-step loop (vectorized across every series currently stopped at a
+    nonzero-coef block), repeat. Real-tier measurements show 80-99% of
+    series-blocks have coef == 0, and the previous lockstep-over-blocks
+    loop serialized on nblk skew (p99 ~26 blocks but max ~1700: thousands
+    of numpy steps at active<=76); this form's round count is bounded by
+    the worst single series' NONZERO-coef block count instead of its
+    total block count. A doubling lookahead window caps the rescan cost
+    so adversarial all-nonzero data degrades to the old lockstep cost,
+    not O(n^2)."""
     assert w in (8, 16)
     su, ss = _UNSIGNED[w], _SIGNED[w]
     n_series = len(plens)
@@ -169,46 +186,97 @@ def fire_decode_multi(
         return np.zeros(0, dtype=su)
     errs = zigzag.decode(np.asarray(zerrs, su))
     starts = np.asarray(dst_starts[:-1], dtype=np.int64)
-    nblk = np.asarray(plens, dtype=np.int64) // BLOCK
-    order = np.argsort(-nblk, kind="stable")
-    nblk_sorted = nblk[order]
-    starts_sorted = starts[order]
-    deltas = np.empty(len(errs), dtype=ss)
+    plens = np.asarray(plens, dtype=np.int64)
+    nblk = plens // BLOCK
     cbits = _COUNTER_BITS[w]
     coef_shift = LEARNING_SHIFT + (w - 4)
     whalf, wmask = 1 << (w - 1), (1 << w) - 1
     chalf, cmask = 1 << (cbits - 1), (1 << cbits) - 1
     prod_t = np.int32 if w == 8 else np.int64
+    E = errs.view(ss)
+    deltas = E.copy()  # correct wherever coef == 0; exact blocks patch it
+    # per-block gradient-sum under the zero-coef assumption (valid for
+    # exactly the blocks the scan accepts)
+    Eb = E.reshape(-1, BLOCK)
+    gpos = np.arange(BLOCK) % LEARNING_DOWNSAMPLE == LEARNING_DOWNSAMPLE - 1
+    e_g = Eb[:, gpos]
+    pd_g = Eb[:, np.flatnonzero(gpos) - 1].astype(np.int64)
+    g = np.where(e_g == 0, 0, np.where(e_g < 0, -pd_g, pd_g))
+    gs0 = g.sum(axis=1, dtype=np.int64)
+    gs0 = ((gs0 + whalf) & wmask) - whalf
+    step0 = gs0 >> _GRAD_SHIFT
+    blk_start = starts // BLOCK
+    blk_end = blk_start + nblk
     counters = np.zeros(n_series, dtype=np.int64)
     prev_delta = np.zeros(n_series, dtype=np.int64)
-    max_blk = int(nblk_sorted[0])
-    k = 0
-    while k < max_blk:
-        active = int(np.searchsorted(-nblk_sorted, -(k + 1), side="right"))
-        base = starts_sorted[:active] + k * BLOCK
-        coef = ((counters[:active] >> coef_shift) << (w - 4)).astype(prod_t)
-        pd_ = prev_delta[:active].astype(prod_t)
-        gs = np.zeros(active, dtype=np.int64)
-        for j in range(BLOCK):
-            e = errs[base + j].view(ss).astype(prod_t)
-            pred = (pd_ * coef) >> np.uint8(w)
-            pred = (((pred + whalf) & wmask) - whalf).astype(prod_t)
-            dlt = ((pred + e + whalf) & wmask) - whalf
-            deltas[base + j] = dlt.astype(ss)
-            if j % LEARNING_DOWNSAMPLE == LEARNING_DOWNSAMPLE - 1:
-                g = np.where(e == 0, 0, np.where(e < 0, -pd_, pd_))
-                gs = gs + g
-            pd_ = dlt.astype(prod_t)
-        prev_delta[:active] = pd_
-        gs = ((gs + whalf) & wmask) - whalf
-        counters[:active] = (
-            (counters[:active] + (gs >> _GRAD_SHIFT) + chalf) & cmask
+    pos = blk_start.copy()
+    unfinished = nblk > 0
+    look_cap = 64
+    while True:
+        idxs = np.flatnonzero(unfinished)
+        if not len(idxs):
+            break
+        rem = blk_end[idxs] - pos[idxs]
+        look = np.minimum(rem, look_cap)
+        total = int(look.sum())
+        seg_off = np.zeros(len(idxs) + 1, np.int64)
+        np.cumsum(look, out=seg_off[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            seg_off[:-1], look
+        )
+        blocks = np.repeat(pos[idxs], look) + within
+        steps = step0[blocks]
+        cum = np.cumsum(steps)
+        excl = cum - steps
+        excl_in = excl - np.repeat(excl[seg_off[:-1]], look)
+        counter_t = (
+            (np.repeat(counters[idxs], look) + excl_in + chalf) & cmask
         ) - chalf
-        k += 1
+        coef_t = (counter_t >> coef_shift) << (w - 4)
+        cand = np.where(coef_t != 0, within, np.int64(1) << 60)
+        runlen = np.minimum(np.minimum.reduceat(cand, seg_off[:-1]), look)
+        run_sum = np.add.reduceat(
+            np.where(within < np.repeat(runlen, look), steps, 0),
+            seg_off[:-1],
+        )
+        counters[idxs] = ((counters[idxs] + run_sum + chalf) & cmask) - chalf
+        newpos = pos[idxs] + runlen
+        moved = runlen > 0
+        prev_delta[idxs[moved]] = E[newpos[moved] * BLOCK - 1]
+        pos[idxs] = newpos
+        fin = newpos >= blk_end[idxs]
+        unfinished[idxs[fin]] = False
+        # exact 8-step decode of the one nonzero-coef block each stopped
+        # series is sitting on (windows that ended with coef still 0 just
+        # rescan with a larger lookahead)
+        sub = idxs[(~fin) & (runlen < look)]
+        if len(sub):
+            base = pos[sub] * BLOCK
+            coef = ((counters[sub] >> coef_shift) << (w - 4)).astype(prod_t)
+            pd_ = prev_delta[sub].astype(prod_t)
+            gs = np.zeros(len(sub), dtype=np.int64)
+            for j in range(BLOCK):
+                e = E[base + j].astype(prod_t)
+                pred = (pd_ * coef) >> np.uint8(w)
+                pred = (((pred + whalf) & wmask) - whalf).astype(prod_t)
+                dlt = ((pred + e + whalf) & wmask) - whalf
+                deltas[base + j] = dlt.astype(ss)
+                if j % LEARNING_DOWNSAMPLE == LEARNING_DOWNSAMPLE - 1:
+                    gs = gs + np.where(e == 0, 0, np.where(e < 0, -pd_, pd_))
+                pd_ = dlt.astype(prod_t)
+            prev_delta[sub] = pd_
+            gs = ((gs + whalf) & wmask) - whalf
+            counters[sub] = (
+                (counters[sub] + (gs >> _GRAD_SHIFT) + chalf) & cmask
+            ) - chalf
+            pos[sub] += 1
+            done = pos[sub] >= blk_end[sub]
+            unfinished[sub[done]] = False
+        look_cap = min(look_cap * 2, 1 << 13)
     # segmented wraparound cumsum: d[s] is the absolute restart value
     du = deltas.view(su)
     c = np.cumsum(du, dtype=su)
-    ne = np.asarray(plens, dtype=np.int64) > 0  # empty segments have no start
+    ne = plens > 0  # empty segments have no start
     off = np.zeros(len(starts), dtype=su)
     off[ne] = c[starts[ne]] - du[starts[ne]]
     return c - np.repeat(off, plens)

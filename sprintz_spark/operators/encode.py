@@ -499,7 +499,17 @@ def decode_series(
     value_cols: list[str] = ("crawl_count", "byte_size_sum", "byte_size_max"),
     value_types: dict | None = None,
 ) -> DataFrame:
-    """Explode encoded chunks back to rows — narrow (no shuffle)."""
+    """Explode encoded chunks back to rows — narrow (no shuffle).
+
+    mapInArrow, not mapInPandas (r10): the decoded output is millions of
+    rows whose key columns are string repeats — building them as pandas
+    object arrays paid one Python object per row plus a pandas→Arrow
+    conversion of the whole decoded table. Arrow-side ``take`` repeats the
+    key columns in C++ and the numeric columns wrap decode buffers
+    zero-copy, so the Python boundary carries only the blob bytes in and
+    Arrow buffers out."""
+    import pyarrow as pa
+
     key_cols = list(key_cols)
     value_cols = list(value_cols)
     key_fields = [enc.schema[k] for k in key_cols]
@@ -512,33 +522,50 @@ def decode_series(
     fields = key_fields + [StructField(ts_col, TimestampType())]
     fields += [StructField(c, vt.get(c, LongType())) for c in value_cols]
     schema = StructType(fields)
+    tz = enc.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    _arrow_named = {"long": pa.int64(), "double": pa.float64(),
+                    "boolean": pa.bool_()}
+    val_arrow = {
+        c: _arrow_named[vt.get(c, LongType()).typeName()] for c in value_cols
+    }
+    names = key_cols + [ts_col] + value_cols
 
-    def dec(it):
-        for pdf in it:
-            if not len(pdf):
+    def dec(batches):
+        for b in batches:
+            n_rows = b.num_rows
+            if not n_rows:
                 continue
-            metas = [_json_loads(m) for m in pdf["meta"]]
-            ns = pdf["n"].to_numpy(np.int64)
-            ts_arrays = sz.decode_batch(list(pdf["ts_blob"]))
+            col = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            metas = [_json_loads(m) for m in col["meta"].to_pylist()]
+            ns = col["n"].to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            ts_arrays = sz.decode_batch(col["ts_blob"].to_pylist())
             ts_concat = (
                 np.concatenate([a.view(np.int64) for a in ts_arrays])
                 if ts_arrays
                 else np.zeros(0, np.int64)
             )
-            base = pd.DataFrame(
-                {k: np.repeat(pdf[k].to_numpy(), ns) for k in key_cols}
+            idx = pa.array(np.repeat(np.arange(n_rows, dtype=np.int64), ns))
+            arrays = [col[k].take(idx) for k in key_cols]
+            arrays.append(
+                pa.array(ts_concat).cast(pa.timestamp("us", tz=tz))
             )
-            base[ts_col] = ts_concat.astype("datetime64[us]")
             for c in value_cols:
                 vals = decode_value_columns_batch(
-                    list(pdf[f"blob_{c}"]), [m[c] for m in metas]
+                    col[f"blob_{c}"].to_pylist(), [m[c] for m in metas]
                 )
-                base[c] = np.concatenate(
-                    [np.asarray(v) for v in vals]
-                ) if vals else np.zeros(0)
-            yield base
+                cat = (
+                    np.concatenate([np.asarray(v) for v in vals])
+                    if vals
+                    else np.zeros(0)
+                )
+                # safe cast (not astype): a non-integral float reaching a
+                # long column must error as the pandas path did
+                arrays.append(pa.array(cat).cast(val_arrow[c]))
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return enc.mapInPandas(dec, schema)
+    return enc.mapInArrow(dec, schema)
 
 
 def query_encoded(

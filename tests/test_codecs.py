@@ -152,6 +152,47 @@ def test_fire_roundtrip(w):
             np.testing.assert_array_equal(back, x, err_msg=f"{name} n={n}")
 
 
+@pytest.mark.parametrize("w", [8, 16])
+def test_fire_decode_multi_matches_scalar(w):
+    # the optimistic zero-coef scan must stay bit-identical to the scalar
+    # per-segment decoder on shapes that exercise every branch: zero-coef
+    # runs, learned nonzero coefs, oscillating/wrapping counters, nblk
+    # skew (one long + many tiny series), and empty segments
+    dtype = np.uint8 if w == 8 else np.uint16
+    rng = np.random.default_rng(w)
+    cases = []
+    lens = rng.integers(1, 30, 200) * 8
+    cases.append(("small-delta", lens,
+                  np.cumsum(rng.integers(0, 3, lens.sum()), dtype=dtype)))
+    lens = rng.integers(1, 40, 100) * 8
+    slope = np.repeat(rng.integers(1, 50, 100), lens)
+    cases.append(("slope", lens, np.cumsum(slope, dtype=dtype)))
+    lens = np.full(20, 8 * 200)
+    t = np.arange(lens.sum())
+    cases.append(("oscillate", lens,
+                  np.where((t // 64) % 2 == 0, t * 37, -t * 23).astype(dtype)))
+    lens = np.concatenate([[8 * 500], rng.integers(1, 6, 400) * 8])
+    cases.append(("skewed", lens,
+                  np.cumsum(rng.integers(0, 2, lens.sum()), dtype=dtype)))
+    lens = np.array([0, 16, 0, 8, 64, 0])
+    cases.append(("empties", lens,
+                  np.cumsum(rng.integers(0, 4, lens.sum()), dtype=dtype)))
+    for name, lens, vals in cases:
+        lens = np.asarray(lens, np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        z = fire.fire_encode_multi(vals, starts, lens, w)
+        got = fire.fire_decode_multi(z, starts, lens, w)
+        np.testing.assert_array_equal(got, vals, err_msg=name)
+        # per-segment scalar reference on a sample of segments
+        for i in rng.choice(len(lens), size=min(10, len(lens)), replace=False):
+            lo, hi = starts[i], starts[i + 1]
+            np.testing.assert_array_equal(
+                got[lo:hi],
+                fire.fire_decode(z[lo:hi], w),
+                err_msg=f"{name} seg {i}",
+            )
+
+
 def test_fire_learns_slope():
     # pure-slope series: residual magnitudes shrink once coef converges
     # (reference: test_online.cpp FIRE behavior; method.tex:153-271)
