@@ -84,7 +84,7 @@ def mode_decode_container() -> dict:
     spark = _spark()
     big = _pages(spark, int(os.environ.get("BENCH_FUSED_ROWS", "6000000")))
     trials = int(os.environ.get("BENCH_EXTRA_TRIALS", "3"))
-    daily = derive_series(big, bucket="1d")
+    daily = derive_series(big, tier="1d")
     with tempfile.TemporaryDirectory() as tmp:
         enc_path = os.path.join(tmp, "enc")
         encode_series_container(daily).write.parquet(enc_path)
