@@ -364,6 +364,29 @@ def query_tier(
     return query_encoded(enc, value_col, key_cols=["url"])
 
 
+def _is_container_store(spark: SparkSession, path: str) -> bool:
+    """Wire-format sniff for one encoded-tier directory: container stores
+    carry a ``keys`` column. A ``spark.read.parquet(...).columns`` schema
+    resolve costs ~70 ms of driver planning per call (r10 measurement:
+    6 calls = 0.44 s of a 3.4 s compact); a driver-side pyarrow footer
+    read answers the same question in ~1 ms when the store is on a local
+    filesystem. Non-local stores (no globbable files) fall back to the
+    spark.read resolve."""
+    try:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        local = path[len("file:"):] if path.startswith("file:") else path
+        for f in glob.iglob(
+            os.path.join(local, "**", "*.parquet"), recursive=True
+        ):
+            return "keys" in pq.ParquetFile(f).schema_arrow.names
+    except Exception:
+        pass
+    return "keys" in spark.read.parquet(path).columns
+
+
 def compact_tiers(
     spark: SparkSession,
     out_dir: str,
@@ -465,8 +488,9 @@ def compact_tiers(
         for tier in todo:
             for sid in snapshot_ids:
                 p = os.path.join(out_dir, f"snap={sid}", f"encoded_tier={tier}")
-                is_cont = "keys" in spark.read.parquet(p).columns
-                by_fmt.setdefault(is_cont, []).append((tier, sid, p))
+                by_fmt.setdefault(_is_container_store(spark, p), []).append(
+                    (tier, sid, p)
+                )
         sid_arr = F.array(*[F.lit(s) for s in snapshot_ids])
         decs, metas = [], []
         for is_cont, members in by_fmt.items():
